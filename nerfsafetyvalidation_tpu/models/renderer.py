@@ -1,0 +1,357 @@
+"""Volume renderer.
+
+Parity target: reference nerf/renderer.py (`NeRFRenderer`). This module keeps
+the same outputs contract — the result dict carries the repo-specific extras
+`rgbs`, `sigmas` (per-sample values) and `aggregated_density` (sum_i w_i
+sigma_i per ray, renderer.py:244) that the UQ layer consumes — including the
+staged-mode quirk that `rgbs`/`sigmas` come from the LAST ray chunk only
+while image/depth/aggregated_density are full (renderer.py:578-583,
+documented in SURVEY.md §3.3).
+
+TPU design: the uniform-sampling path (`run`, renderer.py:125-258) is a dense
+fixed-shape [N_rays, T_samples] program — one jit compiles the whole
+slab-test -> sample -> hash-encode -> MLP -> composite pipeline and XLA fuses
+it around the MXU matmuls. Staged rendering is a host loop over a single
+compiled chunk program (exactly like the reference's max_ray_batch loop,
+renderer.py:562-577) plus a faster `render_tiles` variant that lax.maps over
+tiles and carries only per-ray outputs.
+
+The occupancy-grid state machinery (`RendererState`, update_extra_state,
+mark_untrained_grid — renderer.py:87-101, :388-546) replaces CUDA
+morton/packbits kernels with the integer ops in ops/ray_ops. The
+grid-accelerated marching path lives in marching.py.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.ray_ops import near_far_from_aabb, sph_from_ray, morton3d, packbits
+from ..ops.compositing import composite_weights
+from ..ops.sample_pdf import sample_pdf
+
+
+# --------------------------------------------------------------------------
+# occupancy grid state (renderer.py:87-101)
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RendererState:
+    density_grid: jnp.ndarray       # [CAS, H^3], morton-indexed; -1 = untrained
+    density_bitfield: jnp.ndarray   # [CAS * H^3 // 8] uint8
+    mean_density: jnp.ndarray       # scalar f32
+    iter_density: jnp.ndarray       # scalar i32
+
+    def tree_flatten(self):
+        return ((self.density_grid, self.density_bitfield,
+                 self.mean_density, self.iter_density), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def create(cascade: int, grid_size: int = 128) -> "RendererState":
+        n = grid_size ** 3
+        return RendererState(
+            density_grid=jnp.zeros((cascade, n), dtype=jnp.float32),
+            density_bitfield=jnp.zeros((cascade * n // 8,), dtype=jnp.uint8),
+            mean_density=jnp.zeros((), dtype=jnp.float32),
+            iter_density=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+def aabb_of(cfg):
+    b = cfg.bound
+    return jnp.asarray([-b, -b, -b, b, b, b], dtype=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# uniform-sampling render path (renderer.py:125-258)
+# --------------------------------------------------------------------------
+
+def run(net, params, rays_o, rays_d, num_steps: int = 128,
+        upsample_steps: int = 128, bg_color=None, perturb: bool = False,
+        key=None, training: bool = False):
+    """rays_o/d: [N, 3]. Returns the reference result dict."""
+    cfg = net.cfg
+    aabb = aabb_of(cfg)
+    N = rays_o.shape[0]
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    nears = nears[..., None]
+    fars = fars[..., None]
+
+    z = jnp.linspace(0.0, 1.0, num_steps)
+    z_vals = nears + (fars - nears) * z[None, :]            # [N, T]
+    sample_dist = (fars - nears) / num_steps                # [N, 1]
+    if perturb:
+        if key is None:
+            raise ValueError("perturb=True requires a PRNG key")
+        key, sub = jax.random.split(key)
+        z_vals = z_vals + (jax.random.uniform(sub, z_vals.shape) - 0.5) * sample_dist
+
+    def make_xyzs(zv):
+        x = rays_o[:, None, :] + rays_d[:, None, :] * zv[..., None]
+        return jnp.clip(x, aabb[:3], aabb[3:])
+
+    xyzs = make_xyzs(z_vals)                                # [N, T, 3]
+    dout = net.density(params, xyzs.reshape(-1, 3))
+    sigmas = dout["sigma"].reshape(N, num_steps)
+    geo_feat = dout["geo_feat"].reshape(N, num_steps, -1)
+
+    total = num_steps
+    if upsample_steps > 0:
+        # hierarchical upsampling (renderer.py:171-204), no grad through pdf
+        deltas = jnp.diff(z_vals, axis=-1)
+        deltas = jnp.concatenate(
+            [deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)], axis=-1)
+        weights, _ = composite_weights(
+            jax.lax.stop_gradient(sigmas), deltas, cfg.density_scale)
+        z_mid = z_vals[..., :-1] + 0.5 * deltas[..., :-1]
+        if training:
+            if key is None:
+                raise ValueError("training upsample requires a PRNG key")
+            key, sub = jax.random.split(key)
+        else:
+            sub = None
+        new_z = sample_pdf(z_mid, weights[:, 1:-1], upsample_steps,
+                           det=not training, key=sub)
+        new_z = jax.lax.stop_gradient(new_z)
+        new_xyzs = make_xyzs(new_z)
+        ndout = net.density(params, new_xyzs.reshape(-1, 3))
+        new_sigmas = ndout["sigma"].reshape(N, upsample_steps)
+        new_geo = ndout["geo_feat"].reshape(N, upsample_steps, -1)
+
+        z_vals = jnp.concatenate([z_vals, new_z], axis=1)
+        order = jnp.argsort(z_vals, axis=1)
+        z_vals = jnp.take_along_axis(z_vals, order, axis=1)
+        xyzs = jnp.take_along_axis(
+            jnp.concatenate([xyzs, new_xyzs], axis=1), order[..., None], axis=1)
+        sigmas = jnp.take_along_axis(
+            jnp.concatenate([sigmas, new_sigmas], axis=1), order, axis=1)
+        geo_feat = jnp.take_along_axis(
+            jnp.concatenate([geo_feat, new_geo], axis=1), order[..., None], axis=1)
+        total = num_steps + upsample_steps
+
+    deltas = jnp.diff(z_vals, axis=-1)
+    deltas = jnp.concatenate(
+        [deltas, jnp.broadcast_to(sample_dist, deltas[..., :1].shape)], axis=-1)
+    weights, _ = composite_weights(sigmas, deltas, cfg.density_scale)
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
+    mask = weights > 1e-4  # hard-coded threshold (renderer.py:216)
+    rgbs = net.color(params, xyzs.reshape(-1, 3), dirs.reshape(-1, 3),
+                     geo_feat=geo_feat.reshape(-1, geo_feat.shape[-1]),
+                     mask=mask.reshape(-1))
+    rgbs = rgbs.reshape(N, total, 3)
+
+    weights_sum = jnp.sum(weights, axis=-1)
+    ori_z = jnp.clip((z_vals - nears) / (fars - nears), 0.0, 1.0)
+    depth = jnp.sum(weights * ori_z, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+
+    if cfg.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, cfg.bg_radius)
+        bg = net.background(params, sph, rays_d)
+    elif bg_color is None:
+        bg = 1.0
+    else:
+        bg = bg_color
+    image = image + (1.0 - weights_sum)[..., None] * bg
+
+    aggregated_density = jnp.sum(weights * sigmas, axis=-1)
+
+    return {
+        "depth": depth,                       # [N]
+        "image": image,                       # [N, 3]
+        "weights_sum": weights_sum,           # [N]
+        "rgbs": rgbs,                         # [N, T, 3]
+        "sigmas": sigmas.reshape(-1, 1),      # [N*T, 1] (renderer.py:213-214)
+        "aggregated_density": aggregated_density,  # [N]
+    }
+
+
+# --------------------------------------------------------------------------
+# staged rendering (renderer.py:549-588)
+# --------------------------------------------------------------------------
+
+def _run_jitted(net):
+    """One compiled chunk program, cached per (net config, static args)."""
+    @partial(jax.jit, static_argnames=("num_steps", "upsample_steps",
+                                       "perturb", "training"))
+    def f(params, rays_o, rays_d, bg_color, key, num_steps, upsample_steps,
+          perturb, training):
+        return run(net, params, rays_o, rays_d, num_steps=num_steps,
+                   upsample_steps=upsample_steps, bg_color=bg_color,
+                   perturb=perturb, key=key, training=training)
+    return f
+
+
+_RUN_CACHE = {}
+
+
+def _get_run(net):
+    cache_key = id(net)
+    if cache_key not in _RUN_CACHE:
+        _RUN_CACHE[cache_key] = _run_jitted(net)
+    return _RUN_CACHE[cache_key]
+
+
+def render(net, params, rays_o, rays_d, staged: bool = False,
+           max_ray_batch: int = 4096, num_steps: int = 512,
+           upsample_steps: int = 0, bg_color=None, perturb: bool = False,
+           key=None, training: bool = False, **kwargs):
+    """rays_o/d: [B, N, 3]. Mirrors NeRFRenderer.render (renderer.py:549-588):
+    staged mode loops over max_ray_batch chunks, keeping full image/depth/
+    aggregated_density but only the last chunk's rgbs/sigmas."""
+    B, N = rays_o.shape[:2]
+    runf = _get_run(net)
+    bg = jnp.asarray(1.0 if bg_color is None else bg_color, dtype=jnp.float32)
+
+    if staged:
+        depth = np.empty((B, N), dtype=np.float32)
+        image = np.empty((B, N, 3), dtype=np.float32)
+        aggregated = np.empty((B, N), dtype=np.float32)
+        last = None
+        for b in range(B):
+            head = 0
+            while head < N:
+                tail = min(head + max_ray_batch, N)
+                ro = rays_o[b, head:tail]
+                rd = rays_d[b, head:tail]
+                pad = max_ray_batch - (tail - head)
+                if pad:  # keep one static shape -> one compilation
+                    ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
+                    rd = jnp.concatenate(
+                        [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))],
+                        axis=0)
+                res = runf(params, ro, rd, bg, key, num_steps, upsample_steps,
+                           perturb, training)
+                n = tail - head
+                depth[b, head:tail] = np.asarray(res["depth"])[:n]
+                image[b, head:tail] = np.asarray(res["image"])[:n]
+                aggregated[b, head:tail] = np.asarray(res["aggregated_density"])[:n]
+                last = res
+                head += max_ray_batch
+        return {
+            "depth": jnp.asarray(depth),
+            "image": jnp.asarray(image),
+            "rgbs": last["rgbs"],
+            "sigmas": last["sigmas"],
+            "aggregated_density": jnp.asarray(aggregated),
+        }
+
+    res = runf(params, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), bg, key,
+               num_steps, upsample_steps, perturb, training)
+    return {
+        "depth": res["depth"].reshape(B, N),
+        "image": res["image"].reshape(B, N, 3),
+        "weights_sum": res["weights_sum"].reshape(B, N),
+        "rgbs": res["rgbs"],
+        "sigmas": res["sigmas"],
+        "aggregated_density": res["aggregated_density"].reshape(B, N),
+    }
+
+
+def render_tiles(net, params, rays_o, rays_d, tile: int = 8192,
+                 num_steps: int = 512, upsample_steps: int = 0,
+                 bg_color=None):
+    """High-throughput full-frame render: one jit, lax.map over fixed tiles,
+    carrying only per-ray outputs (image/depth/aggregated_density). Device-
+    resident end to end — this is the bench path. rays_o/d: [N, 3]."""
+    N = rays_o.shape[0]
+    n_tiles = (N + tile - 1) // tile
+    pad = n_tiles * tile - N
+    if pad:
+        rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))], axis=0)
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))], axis=0)
+    ro = rays_o.reshape(n_tiles, tile, 3)
+    rd = rays_d.reshape(n_tiles, tile, 3)
+
+    def one_tile(args):
+        o, d = args
+        res = run(net, params, o, d, num_steps=num_steps,
+                  upsample_steps=upsample_steps, bg_color=bg_color)
+        return res["image"], res["depth"], res["aggregated_density"]
+
+    image, depth, agg = jax.lax.map(one_tile, (ro, rd))
+    return {
+        "image": image.reshape(-1, 3)[:N],
+        "depth": depth.reshape(-1)[:N],
+        "aggregated_density": agg.reshape(-1)[:N],
+    }
+
+
+# --------------------------------------------------------------------------
+# occupancy grid maintenance (renderer.py:388-546)
+# --------------------------------------------------------------------------
+
+def mark_untrained_grid(cfg, state: RendererState, poses, intrinsic,
+                        grid_size: int = 128) -> RendererState:
+    """Mark grid cells seen by no training camera as -1 (renderer.py:388-451).
+    poses: [B, 4, 4] cam2world; intrinsic: (fx, fy, cx, cy)."""
+    poses = jnp.asarray(poses, dtype=jnp.float32)
+    fx, fy, cx, cy = [float(v) for v in intrinsic]
+    g = jnp.arange(grid_size, dtype=jnp.int32)
+    xx, yy, zz = jnp.meshgrid(g, g, g, indexing="ij")
+    coords = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], axis=-1)
+    indices = morton3d(coords)
+    world = (2.0 * coords.astype(jnp.float32) / (grid_size - 1) - 1.0)
+
+    cascade = state.density_grid.shape[0]
+    new_grid = state.density_grid
+    for cas in range(cascade):
+        bound = min(2 ** cas, cfg.bound)
+        half = bound / grid_size
+        pts = world * (bound - half)                                 # [M, 3]
+        cam = pts[None, :, :] - poses[:, None, :3, 3]                # [B, M, 3]
+        cam = jnp.einsum("bmi,bij->bmj", cam, poses[:, :3, :3])
+        mz = cam[..., 2] > 0
+        mx = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
+        my = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
+        count = jnp.sum(mz & mx & my, axis=0)                        # [M]
+        cas_vals = new_grid[cas].at[indices].set(
+            jnp.where(count == 0, -1.0, new_grid[cas][indices]))
+        new_grid = new_grid.at[cas].set(cas_vals)
+    return RendererState(new_grid, state.density_bitfield,
+                         state.mean_density, state.iter_density)
+
+
+def update_extra_state(net, params, state: RendererState, key,
+                       decay: float = 0.95, grid_size: int = 128) -> RendererState:
+    """Refresh the density grid + bitfield (renderer.py:453-546, full-update
+    branch; TPU prefers the dense full probe — it is one batched density
+    query — so the 'partial random update' fast path is unnecessary)."""
+    cfg = net.cfg
+    cascade = state.density_grid.shape[0]
+    g = jnp.arange(grid_size, dtype=jnp.int32)
+    xx, yy, zz = jnp.meshgrid(g, g, g, indexing="ij")
+    coords = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], axis=-1)
+    indices = morton3d(coords)
+    xyzs = 2.0 * coords.astype(jnp.float32) / (grid_size - 1) - 1.0
+
+    tmp = -jnp.ones_like(state.density_grid)
+    for cas in range(cascade):
+        bound = min(2 ** cas, cfg.bound)
+        half = bound / grid_size
+        key, sub = jax.random.split(key)
+        pts = xyzs * (bound - half)
+        pts = pts + (jax.random.uniform(sub, pts.shape) * 2.0 - 1.0) * half
+        sig = net.density(params, pts)["sigma"] * cfg.density_scale
+        tmp = tmp.at[cas, indices].set(sig)
+
+    valid = (state.density_grid >= 0) & (tmp >= 0)
+    new_grid = jnp.where(valid, jnp.maximum(state.density_grid * decay, tmp),
+                         state.density_grid)
+    mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
+    thresh = jnp.minimum(mean_density, cfg.density_thresh)
+    bitfield = packbits(new_grid, thresh)
+    return RendererState(new_grid, bitfield, mean_density,
+                         state.iter_density + 1)

@@ -1,0 +1,427 @@
+"""Training / evaluation / checkpoint orchestration.
+
+Parity target: reference nerf/utils.py `Trainer` (:257-1060):
+  * ctor wiring optimizer/EMA/console/log-file/ckpt auto-load (:258-385)
+  * train_step with pixel-wise random background compositing for RGBA
+    datasets, perturbed sampling, error-map EMA update (:404-487)
+  * eval/test steps with staged rendering (:489-530)
+  * per-epoch loops with density-grid refresh every update_extra_interval
+    steps (:754-835), checkpoints per epoch + best-on-eval (:557-581)
+  * checkpoint semantics in checkpoint.py
+
+TPU-native rebuild decisions:
+  * optax.adam(b1=0.9, b2=0.99, eps=1e-15) with the reference's
+    0.1**(step/iters) LambdaLR decay (main_nerf.py:114-121), stepped every
+    iteration; bf16 compute replaces torch.cuda.amp fp16 + GradScaler
+    (bf16 needs no loss scaling)
+  * one jitted train step fuses render + loss + backward + adam update;
+    buffers are donated so the param/optimizer memory is updated in place
+  * data parallel: ray batch sharded over a 1-D 'data' mesh, params
+    replicated — XLA inserts the psum the reference did with DDP/NCCL
+    (utils.py:305-307)
+"""
+
+import glob
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import renderer as R
+from ..data.rays import srgb_to_linear, linear_to_srgb
+from .checkpoint import CheckpointManager
+from .metrics import PSNRMeter
+
+
+def default_optimizer(opt):
+    """Adam + exponential LR decay (main_nerf.py:114-121)."""
+    lr = getattr(opt, "lr", 1e-2)
+    iters = max(int(getattr(opt, "iters", 30000)), 1)
+
+    def schedule(step):
+        return lr * 0.1 ** jnp.minimum(step / iters, 1.0)
+
+    return optax.adam(learning_rate=schedule, b1=0.9, b2=0.99, eps=1e-15)
+
+
+class Trainer:
+    def __init__(self, name, opt, net, params=None, criterion="mse",
+                 optimizer=None, ema_decay=None, metrics=(), workspace="workspace",
+                 use_checkpoint="latest", eval_interval=1, max_keep_ckpt=2,
+                 use_tensorboardX=False, mute=False, local_rank=0,
+                 data_parallel=False, fp16=False):
+        self.name = name
+        self.opt = opt
+        self.net = net
+        self.mute = mute
+        self.metrics = list(metrics) or [PSNRMeter()]
+        self.workspace = workspace
+        self.eval_interval = eval_interval
+        self.use_tensorboardX = use_tensorboardX
+        self.local_rank = local_rank
+        self.time_stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+        self.fp16 = fp16
+
+        self.params = params if params is not None else \
+            net.init(jax.random.PRNGKey(getattr(opt, "seed", 0)))
+        self.tx = optimizer if optimizer is not None else default_optimizer(opt)
+        self.opt_state = self.tx.init(self.params)
+        self.ema_decay = ema_decay
+        # copy (not alias): params buffers are donated by the jitted step
+        self.ema_params = jax.tree_util.tree_map(jnp.array, self.params) \
+            if ema_decay is not None else None
+
+        self.renderer_state = None
+        if net.cfg.grid_ray:
+            self.renderer_state = R.RendererState.create(
+                net.cfg.cascade, net.cfg.grid_size)
+
+        self.epoch = 0
+        self.global_step = 0
+        self.local_step = 0
+        self.stats = {"loss": [], "valid_loss": [], "results": [],
+                      "checkpoints": [], "best_result": None}
+        self.error_map = None
+        self.writer = None
+        self.key = jax.random.PRNGKey(getattr(opt, "seed", 0) + 1)
+
+        # mesh for data-parallel ray sharding
+        self.mesh = None
+        if data_parallel:
+            from ..parallel.mesh import get_mesh, replicate_params
+            self.mesh = get_mesh()
+            self.params = replicate_params(self.params, self.mesh)
+
+        # workspace / logging (utils.py:347-358)
+        self.log_ptr = None
+        if workspace is not None:
+            os.makedirs(workspace, exist_ok=True)
+            self.log_path = os.path.join(workspace, f"log_{name}.txt")
+            self.log_ptr = open(self.log_path, "a+")
+            self.ckpt = CheckpointManager(os.path.join(workspace, "checkpoints"),
+                                          name=name, max_keep=max_keep_ckpt)
+        else:
+            self.ckpt = None
+
+        n_params = sum(int(np.prod(np.shape(x)))
+                       for x in jax.tree_util.tree_leaves(self.params))
+        self.log(f"[INFO] Trainer: {name} | {self.time_stamp} | "
+                 f"{jax.default_backend()} | "
+                 f"{'bf16' if fp16 else 'fp32'} | {workspace}")
+        self.log(f"[INFO] #parameters: {n_params}")
+
+        if self.ckpt is not None:
+            if use_checkpoint == "scratch":
+                self.log("[INFO] Training from scratch ...")
+            else:
+                path = self.ckpt.resolve(use_checkpoint)
+                if path is None:
+                    self.log(f"[INFO] no checkpoint for {use_checkpoint!r}, "
+                             "training from scratch")
+                else:
+                    self.log(f"[INFO] Loading {path} ...")
+                    self.load_checkpoint(
+                        path, model_only=(use_checkpoint == "latest_model"))
+
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------ log
+    def log(self, *args, **kwargs):
+        if self.local_rank == 0:
+            if not self.mute:
+                print(*args)
+            if self.log_ptr:
+                print(*args, file=self.log_ptr)
+                self.log_ptr.flush()
+
+    # ------------------------------------------------------------ train step
+    def _build_train_step(self):
+        net = self.net
+        opt = self.opt
+        tx = self.tx
+        num_steps = getattr(opt, "num_steps", 128)
+        upsample_steps = getattr(opt, "upsample_steps", 128)
+        linear_cs = getattr(opt, "color_space", "srgb") == "linear"
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, key, rays_o, rays_d, images):
+            """rays: [B, N, 3]; images: [B, N, C] (C = 3 or 4)."""
+            k_bg, k_render = jax.random.split(key)
+            C = images.shape[-1]
+            img_rgb = images[..., :3]
+            if linear_cs:
+                img_rgb = srgb_to_linear(img_rgb)
+            if C == 4 and net.cfg.bg_radius <= 0:
+                # pixel-wise random background (utils.py:439-442)
+                bg_color = jax.random.uniform(k_bg, img_rgb.shape)
+                gt_rgb = img_rgb * images[..., 3:] + bg_color * (1 - images[..., 3:])
+            else:
+                bg_color = jnp.ones_like(img_rgb)
+                gt_rgb = img_rgb if C == 3 else \
+                    img_rgb * images[..., 3:] + (1 - images[..., 3:])
+
+            flat_o = rays_o.reshape(-1, 3)
+            flat_d = rays_d.reshape(-1, 3)
+            flat_bg = bg_color.reshape(-1, 3)
+            flat_gt = gt_rgb.reshape(-1, 3)
+
+            def loss_fn(p):
+                out = R.run(net, p, flat_o, flat_d, num_steps=num_steps,
+                            upsample_steps=upsample_steps, bg_color=flat_bg,
+                            perturb=True, key=k_render, training=True)
+                pred = out["image"]
+                per_ray = jnp.mean((pred - flat_gt) ** 2, axis=-1)
+                return jnp.mean(per_ray), (pred, per_ray)
+
+            (loss, (pred, per_ray)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, pred, per_ray
+
+        return step
+
+    def train_step(self, data):
+        """One optimization step on a collated ray batch."""
+        self.key, sub = jax.random.split(self.key)
+        rays_o, rays_d = data["rays_o"], data["rays_d"]
+        images = data["images"]
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            sharded = shard_batch(
+                {"o": rays_o, "d": rays_d, "im": images}, self.mesh,
+                batch_axis=1)
+            rays_o, rays_d, images = sharded["o"], sharded["d"], sharded["im"]
+        self.params, self.opt_state, loss, pred, per_ray = self._train_step(
+            self.params, self.opt_state, sub, rays_o, rays_d, images)
+
+        # error-map EMA update (utils.py:456-478), host side
+        if self.error_map is not None and "index" in data:
+            index = data["index"]
+            inds = np.asarray(data["inds_coarse"])
+            err = np.asarray(per_ray).reshape(inds.shape)
+            emap = self.error_map[index]
+            ema_error = 0.1 * np.take_along_axis(emap, inds, axis=1) + 0.9 * err
+            np.put_along_axis(emap, inds, ema_error, axis=1)
+            self.error_map[index] = emap
+        return pred, loss
+
+    # ---------------------------------------------------------------- epochs
+    def train_one_epoch(self, loader):
+        self.log(f"==> Start Training Epoch {self.epoch} ...")
+        total_loss = 0.0
+        self.local_step = 0
+        for data in loader:
+            if (self.net.cfg.grid_ray and self.renderer_state is not None and
+                    self.global_step % getattr(self.opt, "update_extra_interval",
+                                               16) == 0):
+                self.key, sub = jax.random.split(self.key)
+                self.renderer_state = R.update_extra_state(
+                    self.net, self.params, self.renderer_state, sub,
+                    grid_size=self.net.cfg.grid_size)
+            self.local_step += 1
+            self.global_step += 1
+            _, loss = self.train_step(data)
+            loss_val = float(loss)
+            total_loss += loss_val
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", loss_val, self.global_step)
+
+        if self.ema_params is not None:
+            d = self.ema_decay
+            self.ema_params = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, self.ema_params, self.params)
+
+        avg = total_loss / max(self.local_step, 1)
+        self.stats["loss"].append(avg)
+        self.log(f"==> Finished Epoch {self.epoch}. avg loss {avg:.6f}")
+        return avg
+
+    def train(self, train_loader, valid_loader, max_epochs):
+        if self.use_tensorboardX and self.local_rank == 0:
+            import tensorboardX
+            self.writer = tensorboardX.SummaryWriter(
+                os.path.join(self.workspace, "run", self.name))
+        if self.net.cfg.grid_ray and self.renderer_state is not None:
+            self.renderer_state = R.mark_untrained_grid(
+                self.net.cfg, self.renderer_state, train_loader._data.poses,
+                train_loader._data.intrinsics,
+                grid_size=self.net.cfg.grid_size)
+        self.error_map = train_loader._data.error_map
+
+        for epoch in range(self.epoch + 1, max_epochs + 1):
+            self.epoch = epoch
+            self.train_one_epoch(train_loader)
+            if self.ckpt is not None:
+                self.save_checkpoint(full=True, best=False)
+            if self.epoch % self.eval_interval == 0:
+                self.evaluate_one_epoch(valid_loader)
+                if self.ckpt is not None:
+                    self.save_checkpoint(full=False, best=True)
+        if self.writer is not None:
+            self.writer.close()
+
+    # ------------------------------------------------------------------ eval
+    def eval_params(self):
+        return self.ema_params if self.ema_params is not None else self.params
+
+    def eval_step(self, data):
+        rays_o, rays_d = data["rays_o"], data["rays_d"]
+        images = data["images"]  # [B, H, W, C]
+        B, H, W, C = images.shape
+        img_rgb = images[..., :3]
+        if getattr(self.opt, "color_space", "srgb") == "linear":
+            img_rgb = srgb_to_linear(img_rgb)
+        gt_rgb = img_rgb if C == 3 else \
+            img_rgb * images[..., 3:] + (1 - images[..., 3:])
+        out = R.render(self.net, self.eval_params(),
+                       rays_o, rays_d, staged=True,
+                       max_ray_batch=getattr(self.opt, "max_ray_batch", 4096),
+                       num_steps=getattr(self.opt, "num_steps", 128),
+                       upsample_steps=getattr(self.opt, "upsample_steps", 128),
+                       bg_color=1.0)
+        pred_rgb = out["image"].reshape(B, H, W, 3)
+        pred_depth = out["depth"].reshape(B, H, W)
+        loss = float(jnp.mean((pred_rgb - gt_rgb) ** 2))
+        return pred_rgb, pred_depth, gt_rgb, loss
+
+    def evaluate_one_epoch(self, loader, name=None):
+        self.log(f"++> Evaluate at epoch {self.epoch} ...")
+        if name is None:
+            name = f"{self.name}_ep{self.epoch:04d}"
+        for metric in self.metrics:
+            metric.clear()
+        total_loss, count = 0.0, 0
+        os.makedirs(os.path.join(self.workspace, "validation"), exist_ok=True)
+        for i, data in enumerate(loader):
+            pred, depth, gt, loss = self.eval_step(data)
+            total_loss += loss
+            count += 1
+            for metric in self.metrics:
+                metric.update(np.asarray(pred), np.asarray(gt))
+            try:
+                import cv2
+                img = (np.asarray(pred[0]) * 255).clip(0, 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(self.workspace, "validation",
+                                         f"{name}_{i:04d}_rgb.png"),
+                            cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            except Exception:
+                pass
+        avg = total_loss / max(count, 1)
+        self.stats["valid_loss"].append(avg)
+        result = self.metrics[0].measure() if self.metrics else avg
+        self.stats["results"].append(result)
+        for metric in self.metrics:
+            self.log(metric.report())
+        self.log(f"++> Evaluate epoch {self.epoch} Finished. loss {avg:.6f}")
+        return avg
+
+    def evaluate(self, loader, name=None):
+        return self.evaluate_one_epoch(loader, name)
+
+    def test(self, loader, save_path=None, name=None, write_video=True):
+        """Render the test camera path (utils.py:588-638)."""
+        if save_path is None:
+            save_path = os.path.join(self.workspace, "results")
+        if name is None:
+            name = f"{self.name}_ep{self.epoch:04d}"
+        os.makedirs(save_path, exist_ok=True)
+        self.log(f"==> Start Test, save results to {save_path}")
+        all_preds, all_depths = [], []
+        for i, data in enumerate(loader):
+            H, W = data["H"], data["W"]
+            out = R.render(self.net, self.eval_params(), data["rays_o"],
+                           data["rays_d"], staged=True,
+                           max_ray_batch=getattr(self.opt, "max_ray_batch", 4096),
+                           num_steps=getattr(self.opt, "num_steps", 128),
+                           upsample_steps=getattr(self.opt, "upsample_steps", 128))
+            pred = np.asarray(out["image"]).reshape(H, W, 3)
+            if getattr(self.opt, "color_space", "srgb") == "linear":
+                pred = np.asarray(linear_to_srgb(pred))
+            depth = np.asarray(out["depth"]).reshape(H, W)
+            pred8 = (pred * 255).clip(0, 255).astype(np.uint8)
+            depth8 = (depth * 255).clip(0, 255).astype(np.uint8)
+            if write_video:
+                all_preds.append(pred8)
+                all_depths.append(depth8)
+            else:
+                import cv2
+                cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_rgb.png"),
+                            cv2.cvtColor(pred8, cv2.COLOR_RGB2BGR))
+                cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
+                            depth8)
+        if write_video and all_preds:
+            import imageio
+            imageio.mimwrite(os.path.join(save_path, f"{name}_rgb.mp4"),
+                             np.stack(all_preds), fps=25, quality=8,
+                             macro_block_size=1)
+            imageio.mimwrite(os.path.join(save_path, f"{name}_depth.mp4"),
+                             np.stack(all_depths), fps=25, quality=8,
+                             macro_block_size=1)
+        self.log("==> Finished Test.")
+
+    # ----------------------------------------------------------------- mesh
+    def save_mesh(self, save_path=None, resolution=256, threshold=10):
+        from .mesh_export import extract_geometry, write_ply
+        if save_path is None:
+            save_path = os.path.join(self.workspace, "meshes",
+                                     f"{self.name}_{self.epoch}.ply")
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        bound = self.net.cfg.bound
+
+        def query(pts):
+            return np.asarray(self.net.density(self.params,
+                                               jnp.asarray(pts))["sigma"])
+
+        verts, faces = extract_geometry(
+            np.asarray([-bound] * 3), np.asarray([bound] * 3), resolution,
+            threshold, query)
+        write_ply(save_path, verts, faces)
+        self.log(f"==> Saved mesh to {save_path}")
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, full=False, best=False):
+        if best:
+            result = self.stats["results"][-1] if self.stats["results"] else None
+            path = self.ckpt.save(self.epoch, self.global_step,
+                                  self.eval_params(), stats=self.stats,
+                                  best=True, best_result=result)
+        else:
+            path = self.ckpt.save(self.epoch, self.global_step, self.params,
+                                  stats=self.stats, opt_state=self.opt_state,
+                                  ema_params=self.ema_params,
+                                  renderer_state=self.renderer_state, full=full)
+            self.stats["checkpoints"].append(path)
+        return path
+
+    def load_checkpoint(self, checkpoint=None, model_only=False):
+        if checkpoint is None:
+            checkpoint = self.ckpt.resolve("latest")
+            if checkpoint is None:
+                self.log("[WARN] No checkpoint found, model randomly initialized.")
+                return
+        state = CheckpointManager.load(checkpoint)
+        if "model" in state:
+            self.params = state["model"]
+        if model_only:
+            return
+        self.epoch = state.get("epoch", 0)
+        self.global_step = state.get("global_step", 0)
+        self.stats = state.get("stats", self.stats)
+        if "renderer_state" in state and self.renderer_state is not None:
+            rs = state["renderer_state"]
+            if isinstance(rs, R.RendererState):
+                self.renderer_state = rs
+        if "optimizer" in state:
+            try:
+                self.opt_state = state["optimizer"]
+            except Exception:
+                self.log("[WARN] failed to restore optimizer state")
+        if "ema" in state and self.ema_params is not None:
+            self.ema_params = state["ema"]
+        self.log(f"[INFO] loaded {checkpoint} at epoch {self.epoch}, "
+                 f"global step {self.global_step}")

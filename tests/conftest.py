@@ -11,4 +11,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# the axon sitecustomize force-registers the TPU platform; override it here
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,157 @@
+"""Trainer smoke tests: loss decreases, checkpoints round-trip, DP sharding."""
+
+import os
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerfsafetyvalidation_tpu.config import NetworkConfig
+from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+from nerfsafetyvalidation_tpu.train.trainer import Trainer
+from nerfsafetyvalidation_tpu.train.checkpoint import CheckpointManager
+
+
+def make_opt(**kw):
+    d = dict(lr=1e-2, iters=100, num_steps=16, upsample_steps=0,
+             max_ray_batch=64, color_space="srgb", update_extra_interval=16,
+             error_map=False, seed=0)
+    d.update(kw)
+    return types.SimpleNamespace(**d)
+
+
+class FakeData:
+    """Mimics NeRFDataset: a white-sphere-ish target from fixed cameras."""
+
+    def __init__(self, n=4, num_rays=64):
+        rng = np.random.default_rng(0)
+        self.poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        self.poses[:, 2, 3] = -2.0
+        self.intrinsics = (50.0, 50.0, 8.0, 8.0)
+        self.error_map = None
+        self.n = n
+        self.num_rays = num_rays
+        self.rng = rng
+        self.training = True
+
+    def batches(self):
+        from nerfsafetyvalidation_tpu.data.rays import get_rays
+        out = []
+        for i in range(self.n):
+            rays = get_rays(jnp.asarray(self.poses[i:i + 1]), self.intrinsics,
+                            16, 16, N=self.num_rays,
+                            key=jax.random.PRNGKey(i))
+            # target: mid-gray RGBA image, alpha 1
+            images = jnp.full((1, self.num_rays, 4), 0.5).at[..., 3].set(1.0)
+            out.append({"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
+                        "images": images, "H": 16, "W": 16})
+        return out
+
+
+class FakeLoader:
+    def __init__(self, data):
+        self._data = data
+        self._batches = data.batches()
+        self.has_gt = True
+
+    def __iter__(self):
+        return iter(self._batches)
+
+    def __len__(self):
+        return len(self._batches)
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    cfg = NetworkConfig(num_levels=4, desired_resolution=64, bound=1.0)
+    return NeRFNetwork(cfg)
+
+
+def test_train_loss_decreases(tiny_net, tmp_path):
+    trainer = Trainer("t", make_opt(), tiny_net,
+                      workspace=str(tmp_path / "ws"), use_checkpoint="scratch",
+                      mute=True)
+    loader = FakeLoader(FakeData())
+    losses = []
+    for epoch in range(1, 6):
+        trainer.epoch = epoch
+        losses.append(trainer.train_one_epoch(loader))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_checkpoint_roundtrip(tiny_net, tmp_path):
+    ws = str(tmp_path / "ws2")
+    trainer = Trainer("t", make_opt(), tiny_net, workspace=ws,
+                      use_checkpoint="scratch", mute=True, ema_decay=0.95)
+    loader = FakeLoader(FakeData())
+    trainer.epoch = 1
+    trainer.train_one_epoch(loader)
+    path = trainer.save_checkpoint(full=True)
+    assert os.path.exists(path)
+
+    # fresh trainer picks up 'latest'
+    t2 = Trainer("t", make_opt(), tiny_net, workspace=ws,
+                 use_checkpoint="latest", mute=True, ema_decay=0.95)
+    assert t2.epoch == 1
+    assert t2.global_step == trainer.global_step
+    np.testing.assert_allclose(
+        np.asarray(t2.params["sigma_net"][0]),
+        np.asarray(trainer.params["sigma_net"][0]), rtol=1e-6)
+
+
+def test_checkpoint_rolling_window(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), name="x", max_keep=2)
+    params = {"w": jnp.ones((2, 2))}
+    for ep in range(1, 5):
+        mgr.save(ep, ep * 10, params)
+    import glob
+    files = sorted(glob.glob(str(tmp_path / "ck" / "x_ep*.ckpt")))
+    assert len(files) == 2
+    assert files[-1].endswith("x_ep0004.ckpt")
+    assert mgr.resolve("latest").endswith("x_ep0004.ckpt")
+    assert mgr.resolve("scratch") is None
+
+
+def test_eval_step(tiny_net, tmp_path):
+    trainer = Trainer("t", make_opt(num_steps=8), tiny_net,
+                      workspace=str(tmp_path / "ws3"),
+                      use_checkpoint="scratch", mute=True)
+    from nerfsafetyvalidation_tpu.data.rays import get_rays
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    rays = get_rays(jnp.asarray(pose[None]), (50.0, 50.0, 8.0, 8.0), 16, 16)
+    data = {"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
+            "images": jnp.full((1, 16, 16, 3), 1.0), "H": 16, "W": 16}
+    pred, depth, gt, loss = trainer.eval_step(data)
+    assert pred.shape == (1, 16, 16, 3)
+    assert depth.shape == (1, 16, 16)
+    assert np.isfinite(loss)
+
+
+def test_data_parallel_train_step(tiny_net, tmp_path):
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    trainer = Trainer("t", make_opt(), tiny_net,
+                      workspace=str(tmp_path / "ws4"),
+                      use_checkpoint="scratch", mute=True, data_parallel=True)
+    loader = FakeLoader(FakeData(num_rays=64))  # 64 rays / 8 devices
+    loss = trainer.train_one_epoch(loader)
+    assert np.isfinite(loss)
+
+
+def test_mesh_export(tiny_net, tmp_path):
+    from nerfsafetyvalidation_tpu.train.mesh_export import (
+        extract_geometry, write_ply)
+    # a solid ball density field
+    def query(pts):
+        return (np.linalg.norm(pts, axis=-1) < 0.5).astype(np.float32) * 100.0
+    verts, faces = extract_geometry(np.asarray([-1.0] * 3),
+                                    np.asarray([1.0] * 3), 32, 10.0, query)
+    assert len(verts) > 0 and len(faces) > 0
+    radii = np.linalg.norm(verts, axis=-1)
+    assert radii.max() < 0.75
+    p = str(tmp_path / "m.ply")
+    write_ply(p, verts, faces)
+    assert os.path.getsize(p) > 0
