@@ -154,8 +154,12 @@ class NeRFNetwork:
     def encode_pos(self, params, x):
         cfg = self.cfg
         if self.grid_spec is not None:
-            return hash_grid_encode(params["encoder"]["embeddings"], x,
-                                    self.grid_spec, bound=cfg.bound)
+            # cast the table to the compute dtype before the gather: halves the
+            # HBM bytes of the random-access corner fetches (the hot memory
+            # pattern), mirroring the reference's fp16-table autocast
+            # (grid.py:36-39)
+            emb = params["encoder"]["embeddings"].astype(self.compute_dtype)
+            return hash_grid_encode(emb, x, self.grid_spec, bound=cfg.bound)
         if cfg.encoding == "frequency":
             return freq_encode(x, cfg.multires)
         return x
