@@ -1,0 +1,194 @@
+"""Validation-layer tests: toy CEM/MC integration (the reference's de facto
+test strategy, SURVEY.md §4), distributions, batched rollout engine, utils."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerfsafetyvalidation_tpu.validation.distributions import (
+    SeedableMultivariateNormal, mvn_log_prob)
+from nerfsafetyvalidation_tpu.validation.simulators.toy_simulator import ToySimulator
+from nerfsafetyvalidation_tpu.validation.stresstests.cross_entropy import (
+    CrossEntropyMethod, _weighted_mean_cov)
+from nerfsafetyvalidation_tpu.validation.batched import BatchedRolloutEngine
+from nerfsafetyvalidation_tpu.validation.utils.blender import (
+    worldToIndex, indexToWorld, stateToGridCoord)
+from nerfsafetyvalidation_tpu.validation.utils.paths import (
+    calculate_steps, generate_path, save_coords, load_coords)
+from nerfsafetyvalidation_tpu.validation.utils.sdf import (
+    collision_map_from_density, sdf_from_collision_map)
+from nerfsafetyvalidation_tpu.validation.utils.math import is_positive_definite
+
+
+class TestDistributions:
+    def test_log_prob_matches_scipy(self):
+        from scipy.stats import multivariate_normal
+        rng = np.random.default_rng(0)
+        mean = rng.normal(size=4)
+        A = rng.normal(size=(4, 4))
+        cov = A @ A.T + 4 * np.eye(4)
+        x = rng.normal(size=4)
+        ours = float(mvn_log_prob(jnp.asarray(x), jnp.asarray(mean),
+                                  jnp.asarray(cov)))
+        ref = multivariate_normal(mean, cov).logpdf(x)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+    def test_seedable_reproducible(self):
+        means = [jnp.zeros(12)] * 3
+        covs = [jnp.eye(12) * 0.01] * 3
+        d1 = SeedableMultivariateNormal(means, covs, noise_seed=7)
+        d2 = SeedableMultivariateNormal(means, covs, noise_seed=7)
+        s1 = d1.sample(5)
+        s2 = d2.sample(5)
+        for a, b in zip(s1, s2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # different simulation number -> different draw
+        s3 = d1.sample(6)
+        assert not np.allclose(np.asarray(s1[0]), np.asarray(s3[0]))
+
+    def test_sample_statistics(self):
+        means = [jnp.full(2, 3.0)]
+        covs = [jnp.eye(2) * 0.25]
+        d = SeedableMultivariateNormal(means, covs, noise_seed=0)
+        draws = np.stack([np.asarray(d.sample(i)[0]) for i in range(500)])
+        np.testing.assert_allclose(draws.mean(0), 3.0, atol=0.1)
+        np.testing.assert_allclose(draws.std(0), 0.5, atol=0.1)
+
+
+class TestToyCEM:
+    """The reference runs CEM against ToySimulator at import
+    (ToySimulator.py:21-36); here it is a proper integration test."""
+
+    def test_cem_toy_converges_toward_goal(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        steps = 12
+        means = [jnp.zeros(2)] * steps
+        covs = [jnp.eye(2) * 0.25] * steps
+        q = SeedableMultivariateNormal(means, covs, noise_seed=0)
+        p = SeedableMultivariateNormal(means, covs, noise_seed=0)
+        sim = ToySimulator(collision_threshold=10.0)
+        cem = CrossEntropyMethod(sim, q, p, m=10, m_elite=3, kmax=5,
+                                 noise_seed=0, blend_file=None,
+                                 workspace=None)
+        cem.TOY_PROBLEM = True
+        means_out, covs_out, q_out, bm, bc, bv = cem.optimize()
+        assert len(means_out) == steps
+        # elite updates should push the mean step toward the goal direction
+        total_drift = np.sum([np.asarray(m) for m in means_out], axis=0)
+        assert total_drift[0] > 0 and total_drift[1] > 0
+
+    def test_weighted_mean_cov_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(10, 3))
+        w = rng.uniform(0.1, 1.0, size=10)
+        mean, cov = _weighted_mean_cov(x, w)
+        np.testing.assert_allclose(mean, np.average(x, axis=0, weights=w),
+                                   rtol=1e-10)
+        ref_cov = np.cov(x.T, aweights=w)
+        np.testing.assert_allclose(cov, ref_cov, rtol=1e-8)
+
+
+class TestBatchedRollouts:
+    def make_engine(self, mesh=None):
+        T = 10
+        actions = np.tile(np.asarray([10.0, 0, 0, 0], dtype=np.float32),
+                          (T, 1))
+        # SDF: free space everywhere except a wall at x > 0.5
+        g = 20
+        xs = np.linspace(-1, 1, g)
+        sdf = np.ones((g, g, g), dtype=np.float32)
+        sdf[xs > 0.5] = 0.0
+        start = np.zeros(12, dtype=np.float32)
+        return BatchedRolloutEngine(
+            actions=actions, dt=0.1, g=10.0, mass=1.0, I=np.eye(3),
+            sdf=sdf, sdf_start=[-1, -1, -1], granularity=g / 2,
+            noise_mean=np.zeros(12),
+            noise_std=np.full(12, 0.05, dtype=np.float32),
+            start_state=start, mesh=mesh)
+
+    def test_monte_carlo_batch(self):
+        eng = self.make_engine()
+        out = eng.monte_carlo(jax.random.PRNGKey(0), n_sims=64)
+        assert out["positions"].shape == (64, 10, 3)
+        assert out["risk"].shape == (64,)
+        assert 0.0 <= out["collision_rate"] <= 1.0
+        assert np.isfinite(out["log_likelihoods"]).all()
+
+    def test_collision_detected_when_pushed_into_wall(self):
+        eng = self.make_engine()
+        # drive everything toward +x hard
+        noises = np.zeros((4, 10, 12), dtype=np.float32)
+        noises[..., 0] = 0.2  # +0.2 m x-position disturbance per step
+        out = eng.run(jnp.asarray(noises))
+        assert bool(np.asarray(out["ever_collided"]).all())
+        # post-collision states frozen: positions stop advancing
+        pos = np.asarray(out["positions"])[0, :, 0]
+        first = int(np.argmax(np.asarray(out["collided"])[0]))
+        assert np.allclose(pos[first:], pos[first])
+
+    def test_no_collision_in_free_space(self):
+        eng = self.make_engine()
+        noises = np.zeros((4, 10, 12), dtype=np.float32)
+        out = eng.run(jnp.asarray(noises))
+        assert not bool(np.asarray(out["ever_collided"]).any())
+
+    def test_cem_batched(self):
+        eng = self.make_engine()
+        res = eng.cem(jax.random.PRNGKey(0), m=16, m_elite=4, kmax=2)
+        assert res["means"].shape == (10, 12)
+        assert (res["vars"] > 0).all() and (res["vars"] <= 0.1 + 1e-9).all()
+        assert len(res["history"]) == 2
+
+    def test_sharded_over_mesh(self):
+        from nerfsafetyvalidation_tpu.parallel.mesh import get_mesh
+        eng = self.make_engine(mesh=get_mesh())
+        out = eng.monte_carlo(jax.random.PRNGKey(0), n_sims=64)
+        ref = self.make_engine().monte_carlo(jax.random.PRNGKey(0), n_sims=64)
+        np.testing.assert_allclose(out["risk"], ref["risk"], rtol=1e-5)
+
+
+class TestUtils:
+    def test_world_index_roundtrip(self):
+        i = worldToIndex(0.35, -1.4, 40)
+        w = indexToWorld(i, -1.4, 40)
+        assert abs(w - 0.35) < 1 / 40
+        assert stateToGridCoord(np.asarray([0.0, 0.0, 0.0])) == (10, 10, 10)
+
+    def test_calculate_steps(self):
+        assert calculate_steps([0, 0, 0], [0.9, 0, 0]) == 10
+
+    def test_coords_roundtrip(self, tmp_path):
+        p = str(tmp_path / "coords.json")
+        save_coords([1, 2, 3], [4, 5, 6], 7, path=p)
+        s, e, n = load_coords(p)
+        assert s == [1, 2, 3] and e == [4, 5, 6] and n == 7
+
+    def test_generate_path_in_bounds(self):
+        s, e, n = generate_path([-1, 1], [-1, 1], [0, 0.5])
+        assert -1 <= s[0] <= 1 and 0 <= s[2] <= 0.5
+        assert n == calculate_steps(s, e)
+
+    def test_sdf_pipeline(self):
+        # ball of density at origin
+        density = lambda pts: 100.0 * (np.linalg.norm(pts, axis=-1) < 0.3)
+        cmap = collision_map_from_density(density, start=(-1, -1, -1),
+                                          end=(1, 1, 1), granularity=10)
+        assert cmap.any() and not cmap.all()
+        sdf = sdf_from_collision_map(cmap, granularity=10)
+        assert sdf.min() == 0.0
+        assert sdf.max() > 0.3  # corners are far from the ball
+
+    def test_is_positive_definite(self):
+        assert is_positive_definite(jnp.eye(3))
+        assert not is_positive_definite(jnp.asarray([[1.0, 2.0], [2.0, 1.0]]))
+
+
+class TestReplayCounts:
+    def test_confusion_matrix_written(self, tmp_path):
+        from nerfsafetyvalidation_tpu.validation.replay import (
+            createConfusionMatrix)
+        createConfusionMatrix(1, 2, 3, 4, "unit", out_dir=str(tmp_path))
+        assert os.path.exists(tmp_path / "confusion_matrix_unit.png")
