@@ -1,0 +1,91 @@
+"""Shared CLI flags for the entry points.
+
+Parity target: the ~35 argparse flags duplicated across the reference's
+main_nerf.py:10-59, validate.py:59-110, uncertain.py:252-299 and
+simulate.py:107-156, including the `-O` meta-flag whose expansion differs by
+entry point (train: fp16+cuda_ray+preload, main_nerf.py:61-64; validation/UQ:
+fp16, cuda_ray=False, preload=False, validate.py:115-118). On TPU `--fp16`
+selects bfloat16 compute and `--cuda_ray` selects the occupancy-grid-marched
+render path (grid_ray).
+"""
+
+import argparse
+import random
+
+
+def build_parser(entry: str = "train") -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("path", type=str)
+    parser.add_argument("-O", action="store_true",
+                        help="meta flag (see entry-point expansion)")
+    parser.add_argument("--workspace", type=str, default="workspace")
+    parser.add_argument("--seed", type=int,
+                        default=random.randint(0, 99999999))
+    if entry == "validate":
+        parser.add_argument("--iter", type=int, default=0)
+        parser.add_argument("--k", type=int, default=0)
+    if entry == "train":
+        parser.add_argument("--test", action="store_true")
+        parser.add_argument("--iters", type=int, default=30000)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--ckpt", type=str, default="latest")
+    parser.add_argument("--num_rays", type=int, default=4096)
+    parser.add_argument("--cuda_ray", action="store_true",
+                        help="occupancy-grid marched rendering (TPU analog)")
+    parser.add_argument("--max_steps", type=int, default=1024)
+    parser.add_argument("--num_steps", type=int, default=512)
+    parser.add_argument("--upsample_steps", type=int, default=0)
+    parser.add_argument("--update_extra_interval", type=int, default=16)
+    parser.add_argument("--max_ray_batch", type=int, default=4096)
+    parser.add_argument("--fp16", action="store_true",
+                        help="bfloat16 compute on TPU")
+    parser.add_argument("--ff", action="store_true",
+                        help="fused MLP path (pallas)")
+    parser.add_argument("--tcnn", action="store_true",
+                        help="accepted for CLI parity; same fused path")
+    parser.add_argument("--color_space", type=str, default="srgb")
+    parser.add_argument("--preload", action="store_true")
+    parser.add_argument("--bound", type=float, default=2)
+    parser.add_argument("--scale", type=float, default=0.33)
+    parser.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
+    parser.add_argument("--dt_gamma", type=float, default=1 / 128)
+    parser.add_argument("--min_near", type=float, default=0.2)
+    parser.add_argument("--density_thresh", type=float, default=10)
+    parser.add_argument("--bg_radius", type=float, default=-1)
+    parser.add_argument("--gui", action="store_true")
+    parser.add_argument("--W", type=int, default=1920)
+    parser.add_argument("--H", type=int, default=1080)
+    parser.add_argument("--radius", type=float, default=5)
+    parser.add_argument("--fovy", type=float, default=50)
+    parser.add_argument("--max_spp", type=int, default=64)
+    parser.add_argument("--error_map", action="store_true")
+    parser.add_argument("--clip_text", type=str, default="")
+    parser.add_argument("--rand_pose", type=int, default=-1)
+    if entry == "validate":
+        parser.add_argument("--r", action="store_true",
+                            help="replay NeRF-run failures on the "
+                                 "ground-truth simulator")
+    # TPU-native extensions (not in the reference CLI)
+    parser.add_argument("--camera", type=str, default="blender",
+                        choices=["blender", "nerf", "canned"],
+                        help="observation camera backend (nav/camera.py)")
+    parser.add_argument("--batched_rollouts", action="store_true",
+                        help="run the vmapped TPU rollout engine instead of "
+                             "the sequential loop")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard ray batches over all local devices")
+    return parser
+
+
+def apply_O_flag(opt, entry: str):
+    """-O expansions (main_nerf.py:61-64 vs validate.py:115-118)."""
+    if getattr(opt, "O", False):
+        if entry == "train":
+            opt.fp16 = True
+            opt.cuda_ray = True
+            opt.preload = True
+        else:
+            opt.fp16 = True
+            opt.cuda_ray = False
+            opt.preload = False
+    return opt

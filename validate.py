@@ -1,0 +1,253 @@
+"""Safety-validation driver (the flagship entry point).
+
+Parity target: reference validate.py:23-344 — reads envConfig.json, builds
+the NeRF + density/render/ray closures, a simulator (NerfSimulator or
+BlenderSimulator), runs the configured stress test (Monte Carlo or Cross
+Entropy Method), with replay mode (--r) and the restart-on-failed-path loop
+(ValueError/AssertionError from A* -> reseed, regenerate path, retry,
+validate.py:313-341).
+
+TPU-native additions: --camera nerf|canned runs hermetically without
+Blender; --batched_rollouts switches to the vmapped rollout engine
+(validation/batched.py) for population-scale throughput.
+"""
+
+import random
+import shutil
+import subprocess
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerfsafetyvalidation_tpu.cli import build_parser, apply_O_flag
+from nerfsafetyvalidation_tpu.config import network_config_from_opt, EnvConfig
+from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+from nerfsafetyvalidation_tpu.models import renderer as R
+from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
+from nerfsafetyvalidation_tpu.data.rays import get_rays
+from nerfsafetyvalidation_tpu.train.trainer import Trainer
+from nerfsafetyvalidation_tpu.train.metrics import PSNRMeter
+from nerfsafetyvalidation_tpu.utils.seeding import seed_everything
+from nerfsafetyvalidation_tpu.nav.math_utils import vec_to_rot_matrix
+from nerfsafetyvalidation_tpu.nav.camera import CannedCamera, NerfCamera
+from nerfsafetyvalidation_tpu.validation.distributions import (
+    SeedableMultivariateNormal)
+from nerfsafetyvalidation_tpu.validation.simulators import (
+    NerfSimulator, BlenderSimulator)
+from nerfsafetyvalidation_tpu.validation.stresstests import (
+    MonteCarlo, CrossEntropyMethod)
+from nerfsafetyvalidation_tpu.validation.utils.paths import (
+    generate_path, load_coords, save_coords)
+from nerfsafetyvalidation_tpu.validation.replay import replay_MC, replay_CEM
+
+
+def validate(simulator, stresstest, noise_mean, noise_std, n_simulations,
+             steps, blend_file, workspace, opt):
+    """validate.py:23-54."""
+    if stresstest == "Monte Carlo":
+        print(f"Starting Monte Carlo test with {n_simulations} simulations "
+              f"and {steps} steps each")
+        mc = MonteCarlo(simulator, n_simulations, steps, noise_mean,
+                        noise_std, blend_file, workspace, opt.iter,
+                        noise_seed=opt.seed)
+        mc.validate()
+    elif stresstest == "Cross Entropy Method":
+        print(f"Starting Cross Entropy Method test with {n_simulations} "
+              f"simulations and {steps} steps each")
+        noise_meanQ = [jnp.asarray(noise_mean)] * steps
+        noise_covQ = [jnp.square(jnp.diag(jnp.asarray(noise_std)))] * steps
+        q = SeedableMultivariateNormal(noise_meanQ, noise_covQ,
+                                       noise_seed=opt.seed)
+        p = SeedableMultivariateNormal(noise_meanQ, noise_covQ,
+                                       noise_seed=opt.seed)
+        cem = CrossEntropyMethod(simulator, q, p, 10, 5, 5, opt.seed,
+                                 blend_file, workspace, opt.iter, opt.k)
+        means, covs, dists, bm, bc, bv = cem.optimize()
+        print(f"Means: {means}")
+        print(f"Covariance Matrices: {covs}")
+        print(f"Best solution means: {bm}")
+        print(f"Best solution covariance matrix: {bc}")
+        print(f"Best objective value: {bv}")
+    else:
+        print(f"Unrecognized stress test {stresstest}")
+        raise SystemExit(1)
+
+    # trajectory visualization in Blender (validate.py:52-53)
+    if shutil.which("blender") and blend_file:
+        bevel_depth = 0.02
+        subprocess.run(["blender", blend_file, "-P",
+                        "scripts/blender/viz_data_blend.py", "--background",
+                        "--", opt.workspace, str(bevel_depth)], check=False)
+
+
+def main():
+    opt = build_parser("validate").parse_args()
+    opt = apply_O_flag(opt, "validate")
+
+    env = EnvConfig.load("envConfig.json")
+    planner_cfg_raw = env.planner_cfg
+
+    x_range = planner_cfg_raw["x_range"]
+    y_range = planner_cfg_raw["y_range"]
+    z_range = planner_cfg_raw["z_range"]
+    if opt.r or (opt.iter != 0 or opt.k != 0):
+        start_pos, end_pos, steps = load_coords()
+    else:
+        start_pos, end_pos, steps = generate_path(x_range, y_range, z_range)
+        save_coords(start_pos, end_pos, steps)
+
+    seed_everything(opt.seed)
+
+    cfg = network_config_from_opt(opt)
+    net = NeRFNetwork(cfg)
+    trainer = Trainer("ngp", opt, net, workspace=opt.workspace,
+                      use_checkpoint=opt.ckpt, fp16=opt.fp16,
+                      metrics=[PSNRMeter()])
+    params = trainer.params
+    dataset = NeRFDataset(opt, type="test")  # intrinsics only
+
+    sig0 = np.eye(12)
+    Q = np.eye(12)
+
+    agent_cfg = dict(env.agent_cfg)
+    blend_file = agent_cfg["blend_file"]
+    path = agent_cfg["path"]
+
+    start_R = planner_cfg_raw["start_R"]
+    end_R = planner_cfg_raw["end_R"]
+    init_rates = jnp.zeros(3)
+
+    def build_states(start_pos, end_pos):
+        sp = jnp.asarray(start_pos, dtype=jnp.float32)
+        ep = jnp.asarray(end_pos, dtype=jnp.float32)
+        sR = vec_to_rot_matrix(jnp.asarray(start_R, dtype=jnp.float32))
+        eR = vec_to_rot_matrix(jnp.asarray(end_R, dtype=jnp.float32))
+        start_state = jnp.concatenate([sp, init_rates, sR.reshape(-1),
+                                       init_rates])
+        end_state = jnp.concatenate([ep, init_rates, eR.reshape(-1),
+                                     init_rates])
+        return start_state, end_state
+
+    start_state, end_state = build_states(start_pos, end_pos)
+
+    planner_cfg = {
+        "x_range": x_range, "y_range": y_range, "z_range": z_range,
+        "T_final": planner_cfg_raw["T_final"], "steps": steps,
+        "lr": planner_cfg_raw["planner_lr"],
+        "epochs_init": planner_cfg_raw["epochs_init"],
+        "fade_out_epoch": planner_cfg_raw["fade_out_epoch"],
+        "fade_out_sharpness": planner_cfg_raw["fade_out_sharpness"],
+        "epochs_update": planner_cfg_raw["epochs_update"],
+        "start_state": start_state, "end_state": end_state,
+        "exp_name": opt.workspace,
+        "I": jnp.asarray(agent_cfg["I"], dtype=jnp.float32),
+        "g": agent_cfg["g"], "mass": agent_cfg["mass"],
+        "body": np.asarray(agent_cfg["body_lims"]),
+        "nbins": agent_cfg["body_nbins"],
+    }
+
+    camera_cfg = dict(env.camera_cfg)
+    camera_cfg["path"] = path
+    blender_cfg = {"blend_path": blend_file,
+                   "script_path": "scripts/blender/viz_func.py"}
+    filter_cfg = dict(env.estimator_cfg)
+    filter_cfg["sig0"] = jnp.asarray(sig0, dtype=jnp.float32)
+    filter_cfg["Q"] = jnp.asarray(Q, dtype=jnp.float32)
+
+    noise_std = jnp.asarray(env.mpc_cfg["mpc_noise_std"], dtype=jnp.float32)
+    noise_mean = jnp.asarray(env.mpc_cfg["mpc_noise_mean"], dtype=jnp.float32)
+
+    # NeRF closures (validate.py:282-291): Blender -> NeRF axis rotation
+    rot = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+    def density_fn(x):
+        return net.density(params, x.reshape((-1, 3)) @ rot)["sigma"] \
+            .reshape(x.shape[:-1])
+
+    def render_fn(rays_o, rays_d):
+        return R.render(net, params, rays_o, rays_d, staged=True,
+                        bg_color=1.0, perturb=False,
+                        num_steps=opt.num_steps,
+                        upsample_steps=opt.upsample_steps,
+                        max_ray_batch=opt.max_ray_batch)
+
+    def get_rays_fn(pose):
+        return get_rays(pose, dataset.intrinsics, dataset.H, dataset.W)
+
+    # camera backend selection (TPU-native addition; default keeps Blender)
+    camera = None
+    if opt.camera == "canned":
+        camera = CannedCamera(res_x=camera_cfg["res_x"],
+                              res_y=camera_cfg["res_y"])
+    elif opt.camera == "nerf":
+        est_like_render = lambda pose: R.render(  # noqa: E731
+            net, params,
+            get_rays_fn(jnp.asarray(pose, dtype=jnp.float32)[None])["rays_o"],
+            get_rays_fn(jnp.asarray(pose, dtype=jnp.float32)[None])["rays_d"],
+            staged=True, bg_color=1.0, num_steps=opt.num_steps,
+            max_ray_batch=opt.max_ray_batch)["image"]
+        camera = NerfCamera(est_like_render, res_x=camera_cfg["res_x"],
+                            res_y=camera_cfg["res_y"])
+
+    def build_simulator(start_state, end_state):
+        if env.simulator == "NerfSimulator":
+            return NerfSimulator(start_state, end_state, agent_cfg,
+                                 planner_cfg, camera_cfg, filter_cfg,
+                                 get_rays_fn, render_fn, blender_cfg,
+                                 density_fn, env.uq_method, net, params,
+                                 opt.seed, camera=camera)
+        elif env.simulator == "BlenderSimulator":
+            return BlenderSimulator(start_state, end_state, agent_cfg,
+                                    planner_cfg, camera_cfg, filter_cfg,
+                                    get_rays_fn, render_fn, blender_cfg,
+                                    density_fn, opt.seed, camera=camera)
+        print(f"Unrecognized simulator {env.simulator}")
+        raise SystemExit(1)
+
+    simulator = build_simulator(start_state, end_state)
+
+    if opt.r:
+        if env.stress_test == "Monte Carlo":
+            replay_MC(start_state, end_state, noise_mean, noise_std,
+                      agent_cfg, planner_cfg, camera_cfg, filter_cfg,
+                      get_rays_fn, render_fn, blender_cfg, density_fn,
+                      blend_file, opt.workspace, opt.seed, opt.iter,
+                      camera=camera)
+        elif env.stress_test == "Cross Entropy Method":
+            replay_CEM(start_state, end_state, noise_mean, noise_std,
+                       agent_cfg, planner_cfg, camera_cfg, filter_cfg,
+                       get_rays_fn, render_fn, blender_cfg, density_fn,
+                       blend_file, opt.workspace, opt.seed, opt.iter, opt.k,
+                       camera=camera)
+        else:
+            print(f"Unrecognized stress test {env.stress_test}")
+            raise SystemExit(1)
+    else:
+        # restart-on-failed-path loop (validate.py:313-341)
+        while True:
+            try:
+                validate(simulator, env.stress_test, noise_mean, noise_std,
+                         env.n_simulations, steps, blend_file, opt.workspace,
+                         opt)
+                break
+            except (ValueError, AssertionError):
+                print("Path not found; restarting with new path...")
+                opt.seed += random.randint(0, 10)
+                seed_everything(opt.seed)
+                simulator.seed = opt.seed
+                start_pos, end_pos, steps = generate_path(x_range, y_range,
+                                                          z_range)
+                save_coords(start_pos, end_pos, steps)
+                start_state, end_state = build_states(start_pos, end_pos)
+                planner_cfg["start_state"] = start_state
+                planner_cfg["end_state"] = end_state
+                planner_cfg["steps"] = steps
+                simulator.start_state = start_state
+                simulator.end_state = end_state
+
+    print("End of validation".center(20, "."))
+
+
+if __name__ == "__main__":
+    main()
