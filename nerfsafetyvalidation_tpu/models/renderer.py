@@ -290,6 +290,58 @@ def render_tiles(net, params, rays_o, rays_d, tile: int = 8192,
 
 
 # --------------------------------------------------------------------------
+# occupancy-grid-accelerated render path (renderer.py:261-386 run_cuda analog)
+# --------------------------------------------------------------------------
+
+def run_grid(net, params, state: "RendererState", rays_o, rays_d,
+             max_samples: int = 64, max_steps: int = 1024,
+             dt_gamma: float = 0.0, bg_color=None, perturb_key=None,
+             density_scale: float = None):
+    """Occupancy-marched render (the reference's run_cuda, renderer.py:261-386):
+    march the bitfield for up to `max_samples` occupied samples per ray, one
+    dense network query, masked composite. Static shapes throughout; the
+    empty-space skipping makes this the fast path once the grid is trained.
+    rays_o/d: [N, 3]."""
+    from ..ops.marching import march_rays, composite_marched
+
+    cfg = net.cfg
+    if density_scale is None:
+        density_scale = cfg.density_scale
+    aabb = aabb_of(cfg)
+    N = rays_o.shape[0]
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    m = march_rays(rays_o, rays_d, nears, fars, state.density_bitfield,
+                   cfg.bound, cfg.cascade, cfg.grid_size,
+                   max_samples=max_samples, max_steps=max_steps,
+                   dt_gamma=dt_gamma, perturb=perturb_key)
+
+    K = max_samples
+    xyzs = m["xyzs"].reshape(-1, 3)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(-1, 3)
+    sigmas, rgbs = net.apply(params, xyzs, dirs)
+    sigmas = sigmas.reshape(N, K)
+    rgbs = rgbs.reshape(N, K, 3)
+
+    res = composite_marched(sigmas, rgbs, m["deltas"], m["rs"], m["ts"],
+                            m["mask"], nears, fars,
+                            density_scale=density_scale)
+    bg = 1.0 if bg_color is None else bg_color
+    image = res["image"] + (1.0 - res["weights_sum"])[..., None] * bg
+    # depth normalized like run_cuda (renderer.py:323)
+    safe_span = jnp.where(fars > nears, fars - nears, 1.0)
+    depth = jnp.clip(res["depth"] - nears, 0.0, None) / safe_span
+    return {
+        "depth": depth,
+        "image": image,
+        "weights_sum": res["weights_sum"],
+        "rgbs": rgbs,
+        "sigmas": sigmas.reshape(-1, 1),
+        "aggregated_density": res["aggregated_density"],
+    }
+
+
+# --------------------------------------------------------------------------
 # occupancy grid maintenance (renderer.py:388-546)
 # --------------------------------------------------------------------------
 

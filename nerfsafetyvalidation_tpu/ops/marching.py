@@ -1,0 +1,148 @@
+"""Occupancy-grid ray marching, TPU-style.
+
+Parity target: reference raymarching/src/raymarching.cu —
+kernel_march_rays_train (:313-495) and the inference marcher (:706-825):
+DDA through a multi-cascade 128^3 occupancy bitfield with
+  dt = clamp(t * dt_gamma, dt_min, dt_max),
+  dt_min = 2*sqrt(3)/max_steps, dt_max = 2*sqrt(3)*2^(C-1)/H,
+mip level = max(mip_from_pos, mip_from_dt), and empty-voxel skipping by
+jumping to the next cell boundary (:392-403).
+
+TPU design (SURVEY.md §7 hard part #1): the CUDA version compacts a variable
+number of samples per ray with atomics. XLA needs static shapes, so marching
+runs as a vectorized lax.while_loop over ALL rays at once, each ray carrying
+(t, count); emitted samples land in fixed [N, K] slot buffers via one-hot
+scatter on the VPU (cheap: N*K adds per step). Rays that exhaust far/slots
+go inactive; the loop ends when all rays are done. The result feeds one
+dense batched network query + masked composite — MXU-shaped, no divergence.
+Replaces the reference's non-deterministic atomicAdd compaction with a
+deterministic layout (fidelity improvement).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ray_ops import morton3d
+
+SQRT3 = float(np.sqrt(3.0))
+
+
+def _mip_from_pos(pos, cascade):
+    """Smallest cascade whose [-2^l, 2^l] box contains pos
+    (raymarching.cu mip_from_pos)."""
+    mx = jnp.max(jnp.abs(pos), axis=-1)
+    # level l covers |x| < 2^l; level = ceil(log2(mx)) clamped to [0, C-1]
+    lvl = jnp.ceil(jnp.log2(jnp.maximum(mx, 1e-8)))
+    return jnp.clip(lvl, 0, cascade - 1).astype(jnp.int32)
+
+
+def _mip_from_dt(dt, grid_size, cascade):
+    """Cascade whose cell size (2*2^l/H) covers dt (raymarching.cu
+    mip_from_dt)."""
+    lvl = jnp.ceil(jnp.log2(jnp.maximum(dt * grid_size / 2.0, 1e-8)))
+    return jnp.clip(lvl, 0, cascade - 1).astype(jnp.int32)
+
+
+def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
+               cascade: int, grid_size: int = 128, max_samples: int = 64,
+               max_steps: int = 1024, dt_gamma: float = 0.0, perturb=None):
+    """Generate up to `max_samples` occupied-space samples per ray.
+
+    Returns dict: xyzs [N, K, 3], deltas [N, K] (dt), rs [N, K] (depth step,
+    the reference's deltas[...,1]), ts [N, K], mask [N, K] bool, count [N].
+    """
+    N = rays_o.shape[0]
+    K = max_samples
+    H = grid_size
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * (2 ** (cascade - 1)) / H
+
+    t0 = nears
+    if perturb is not None:
+        t0 = t0 + dt_min * jax.random.uniform(perturb, nears.shape)
+
+    slot_iota = jnp.arange(K)
+
+    def cond(carry):
+        t, count, last_t, ts, dts, rs, it = carry
+        active = (t < fars) & (count < K)
+        return jnp.any(active) & (it < max_steps)
+
+    def body(carry):
+        t, count, last_t, ts, dts, rs, it = carry
+        pos = jnp.clip(rays_o + t[:, None] * rays_d, -bound, bound)  # [N,3]
+        dt = jnp.clip(t * dt_gamma, dt_min, dt_max)                  # [N]
+        level = jnp.maximum(_mip_from_pos(pos, cascade),
+                            _mip_from_dt(dt, H, cascade))            # [N]
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+        mip_rbound = 1.0 / mip_bound
+
+        nxyz = jnp.clip(0.5 * (pos * mip_rbound[:, None] + 1.0) * H,
+                        0.0, H - 1).astype(jnp.int32)                # [N,3]
+        index = level * (H ** 3) + morton3d(nxyz)                    # [N]
+        byte = jnp.take(bitfield, index >> 3, axis=0)
+        occ = ((byte >> (index & 7).astype(jnp.uint8)) & 1) > 0      # [N]
+
+        active = (t < fars) & (count < K)
+        emit = occ & active
+
+        # one-hot scatter into slot `count` (VPU, [N, K])
+        onehot = (slot_iota[None, :] == count[:, None]) & emit[:, None]
+        new_t = t + dt
+        ts = jnp.where(onehot, t[:, None], ts)
+        dts = jnp.where(onehot, dt[:, None], dts)
+        rs = jnp.where(onehot, (new_t - last_t)[:, None], rs)
+        last_t = jnp.where(emit, new_t, last_t)
+        count = count + emit.astype(jnp.int32)
+
+        # empty cell: jump to the next voxel boundary (raymarching.cu:392-403)
+        cell = (nxyz.astype(jnp.float32) + 0.5
+                + 0.5 * jnp.sign(rays_d)) * (2.0 / H) - 1.0
+        t_exit = (cell * mip_bound[:, None] - pos) / rays_d          # [N,3]
+        tt = t + jnp.maximum(0.0, jnp.min(t_exit, axis=-1))
+        # at least one dt step, then ceil to reach tt like the do-while
+        skip_t = jnp.maximum(new_t, tt)
+        t = jnp.where(active, jnp.where(emit, new_t, skip_t), t)
+        return (t, count, last_t, ts, dts, rs, it + 1)
+
+    init = (t0,
+            jnp.zeros((N,), dtype=jnp.int32),
+            t0,
+            jnp.zeros((N, K)),
+            jnp.zeros((N, K)),
+            jnp.zeros((N, K)),
+            jnp.asarray(0, dtype=jnp.int32))
+    t, count, last_t, ts, dts, rs, _ = jax.lax.while_loop(cond, body, init)
+
+    mask = slot_iota[None, :] < count[:, None]
+    xyzs = jnp.clip(rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
+                    -bound, bound)
+    return {"xyzs": xyzs, "deltas": dts, "rs": rs, "ts": ts, "mask": mask,
+            "count": count}
+
+
+def composite_marched(sigmas, rgbs, deltas, rs, ts, mask, nears, fars,
+                      density_scale: float = 1.0):
+    """Composite marched samples (masked slots contribute nothing), matching
+    kernel_composite_rays_train_forward (raymarching.cu:505-593): weights from
+    dt-deltas, depth from cumulative rs, T early-exit handled by the
+    transmittance product itself.
+    """
+    sigmas = jnp.where(mask, sigmas, 0.0)
+    alphas = 1.0 - jnp.exp(-deltas * density_scale * sigmas)
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-15], axis=-1)
+    trans = jnp.cumprod(shifted, axis=-1)[..., :-1]
+    weights = alphas * trans                                    # [N, K]
+    weights_sum = jnp.sum(weights, axis=-1)
+    depth_t = jnp.cumsum(rs, axis=-1)                           # cum depth
+    depth = jnp.sum(weights * depth_t, axis=-1)
+    image = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    aggregated_density = jnp.sum(weights * sigmas, axis=-1)
+    # normalized depth like run_cuda (renderer.py:323): (depth-near)/(far-near)
+    depth = jnp.clip(depth - 0.0, 0.0, None)
+    return {"weights": weights, "weights_sum": weights_sum, "depth": depth,
+            "image": image, "aggregated_density": aggregated_density}
