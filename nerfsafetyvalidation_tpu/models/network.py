@@ -29,7 +29,9 @@ import jax.numpy as jnp
 
 from ..config import NetworkConfig
 from ..ops.activation import trunc_exp
-from ..ops.hash_encoding import HashGridSpec, hash_grid_init, hash_grid_encode
+from ..ops.hash_encoding import (HashGridSpec, hash_grid_init,
+                                 hash_grid_encode, hash_grid_encode_cell,
+                                 build_cell_table)
 from ..ops.sh_encoding import sh_encode, sh_output_dim
 from ..ops.freq_encoding import freq_encode, freq_output_dim
 
@@ -151,9 +153,27 @@ class NeRFNetwork:
         return params
 
     # ------------------------------------------------------------ encoders
+    def to_cell(self, params):
+        """Return params augmented with the cell-layout table for the fast
+        inference path (one row-gather per point per level; see
+        ops/hash_encoding.build_cell_table)."""
+        if self.grid_spec is None:
+            return params
+        out = dict(params)
+        enc = dict(params["encoder"])
+        enc["cell_table"] = build_cell_table(
+            params["encoder"]["embeddings"].astype(self.compute_dtype),
+            self.grid_spec)
+        out["encoder"] = enc
+        return out
+
     def encode_pos(self, params, x):
         cfg = self.cfg
         if self.grid_spec is not None:
+            if "cell_table" in params.get("encoder", {}):
+                tbl = params["encoder"]["cell_table"].astype(self.compute_dtype)
+                return hash_grid_encode_cell(tbl, x, self.grid_spec,
+                                             bound=cfg.bound)
             # cast the table to the compute dtype before the gather: halves the
             # HBM bytes of the random-access corner fetches (the hot memory
             # pattern), mirroring the reference's fp16-table autocast

@@ -256,3 +256,48 @@ def test_losses():
     w = jnp.ones((2, 8)) / 8
     m = jnp.linspace(0, 1, 8)[None].repeat(2, axis=0)
     assert float(eff_distloss(w, m, 1.0 / 8)) > 0
+
+
+class TestCellLayout:
+    def test_dense_cell_encode_matches_corner(self):
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import (
+            build_cell_table, hash_grid_encode_cell)
+        spec = HashGridSpec.make(num_levels=3, base_resolution=4,
+                                 per_level_scale=2.0, gridtype="tiled")
+        emb = hash_grid_init(jax.random.PRNGKey(0), spec, std=1.0)
+        cell = build_cell_table(emb, spec)
+        x = jnp.asarray(np.random.default_rng(0).uniform(-0.95, 0.95, (64, 3)),
+                        dtype=jnp.float32)
+        a = np.asarray(hash_grid_encode(emb, x, spec))
+        b = np.asarray(hash_grid_encode_cell(cell, x, spec))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_hashed_cell_encode_shapes_and_grad(self):
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import (
+            build_cell_table, hash_grid_encode_cell, cell_sizes)
+        spec = HashGridSpec.make(num_levels=6, desired_resolution=128,
+                                 log2_hashmap_size=10)
+        emb = hash_grid_init(jax.random.PRNGKey(1), spec)
+        cell = build_cell_table(emb, spec)
+        sizes, offsets, _ = cell_sizes(spec)
+        assert cell.shape == (offsets[-1], 8 * spec.level_dim)
+        x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (32, 3)),
+                        dtype=jnp.float32)
+        out = hash_grid_encode_cell(cell, x, spec)
+        assert out.shape == (32, spec.output_dim)
+        g = jax.grad(lambda c: jnp.sum(hash_grid_encode_cell(c, x, spec) ** 2))(cell)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_network_to_cell_roundtrip_dense(self):
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+        cfg = NetworkConfig(encoding="tiledgrid", num_levels=2,
+                            base_resolution=4, desired_resolution=8)
+        net = NeRFNetwork(cfg)
+        params = net.init(jax.random.PRNGKey(0))
+        cparams = net.to_cell(params)
+        x = jnp.asarray(np.random.default_rng(2).uniform(-0.9, 0.9, (16, 3)),
+                        dtype=jnp.float32)
+        a = np.asarray(net.density(params, x)["sigma"])
+        b = np.asarray(net.density(cparams, x)["sigma"])
+        np.testing.assert_allclose(a, b, rtol=1e-4)
