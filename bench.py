@@ -90,7 +90,8 @@ def main():
         def tile(args):
             o, d = args
             out = R.run_grid(net, params, state, o, d,
-                             max_samples=MAX_SAMPLES, max_steps=512)
+                             max_samples=MAX_SAMPLES, max_steps=512,
+                             sample_budget=TILE * 8)
             return out["image"]
         imgs = jax.lax.map(tile, (ro.reshape(n_tiles, TILE, 3),
                                   rd.reshape(n_tiles, TILE, 3)))

@@ -152,7 +152,10 @@ def run(net, params, rays_o, rays_d, num_steps: int = 128,
     rgbs = rgbs.reshape(N, total, 3)
 
     weights_sum = jnp.sum(weights, axis=-1)
-    ori_z = jnp.clip((z_vals - nears) / (fars - nears), 0.0, 1.0)
+    # guard miss rays (nears == fars == f32 max): the reference propagates
+    # 0/0 NaN into depth there (renderer.py:226); emit 0 instead
+    span = jnp.where(fars > nears, fars - nears, 1.0)
+    ori_z = jnp.clip((z_vals - nears) / span, 0.0, 1.0)
     depth = jnp.sum(weights * ori_z, axis=-1)
     image = jnp.sum(weights[..., None] * rgbs, axis=-2)
 
@@ -296,7 +299,7 @@ def render_tiles(net, params, rays_o, rays_d, tile: int = 8192,
 def run_grid(net, params, state: "RendererState", rays_o, rays_d,
              max_samples: int = 64, max_steps: int = 1024,
              dt_gamma: float = 0.0, bg_color=None, perturb_key=None,
-             density_scale: float = None):
+             density_scale: float = None, sample_budget: int = None):
     """Occupancy-marched render (the reference's run_cuda, renderer.py:261-386):
     march the bitfield for up to `max_samples` occupied samples per ray, one
     dense network query, masked composite. Static shapes throughout; the
@@ -317,11 +320,25 @@ def run_grid(net, params, state: "RendererState", rays_o, rays_d,
                    dt_gamma=dt_gamma, perturb=perturb_key)
 
     K = max_samples
-    xyzs = m["xyzs"].reshape(-1, 3)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(-1, 3)
-    sigmas, rgbs = net.apply(params, xyzs, dirs)
-    sigmas = sigmas.reshape(N, K)
-    rgbs = rgbs.reshape(N, K, 3)
+    if sample_budget is not None:
+        # query only the real samples: compact [N, K] -> [budget] (the
+        # deterministic replacement for the reference's atomic compaction)
+        from ..ops.marching import compact_samples, gather_compacted, \
+            scatter_back
+        dest, kept, _ = compact_samples(m["mask"], sample_budget)
+        dirs_full = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3))
+        xs = gather_compacted(m["xyzs"], dest, sample_budget)
+        ds = gather_compacted(dirs_full, dest, sample_budget)
+        sig_c, rgb_c = net.apply(params, xs, ds)
+        sigmas = scatter_back(sig_c[:, None], dest, (N, K))[..., 0]
+        rgbs = scatter_back(rgb_c, dest, (N, K))
+        m = dict(m, mask=m["mask"] & kept)
+    else:
+        xyzs = m["xyzs"].reshape(-1, 3)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(-1, 3)
+        sigmas, rgbs = net.apply(params, xyzs, dirs)
+        sigmas = sigmas.reshape(N, K)
+        rgbs = rgbs.reshape(N, K, 3)
 
     res = composite_marched(sigmas, rgbs, m["deltas"], m["rs"], m["ts"],
                             m["mask"], nears, fars,

@@ -124,6 +124,40 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
             "count": count}
 
 
+def compact_samples(mask, budget: int):
+    """Static-shape sample compaction: map the True entries of mask [N, K]
+    to slots of a fixed [budget] buffer (drop overflow), replacing the
+    reference's atomicAdd compaction (raymarching.cu:409-420) with a
+    deterministic prefix-sum layout.
+
+    Returns (flat_idx [N, K] int32 destination slot per sample — `budget`
+    for dropped/masked entries, kept [N, K] bool, n_valid []).
+    """
+    flat = mask.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1          # inclusive -> 0-based
+    dest = jnp.where(flat & (pos < budget), pos, budget)
+    kept = (dest < budget).reshape(mask.shape)
+    return dest.reshape(mask.shape), kept, jnp.sum(flat.astype(jnp.int32))
+
+
+def gather_compacted(values, dest, budget: int, fill=0.0):
+    """Scatter per-sample values [N, K, ...] into the compact [budget, ...]
+    buffer (one extra trash row absorbs dropped samples)."""
+    v = values.reshape((-1,) + values.shape[2:])
+    out = jnp.full((budget + 1,) + v.shape[1:], fill, dtype=values.dtype)
+    out = out.at[dest.reshape(-1)].set(v)
+    return out[:budget]
+
+
+def scatter_back(compact, dest, shape):
+    """Inverse of gather_compacted: read each sample's compact slot back to
+    [N, K, ...] (dropped samples read the zero trash row)."""
+    padded = jnp.concatenate(
+        [compact, jnp.zeros((1,) + compact.shape[1:], compact.dtype)], axis=0)
+    flat = jnp.take(padded, dest.reshape(-1), axis=0)
+    return flat.reshape(shape + compact.shape[1:])
+
+
 def composite_marched(sigmas, rgbs, deltas, rs, ts, mask, nears, fars,
                       density_scale: float = 1.0):
     """Composite marched samples (masked slots contribute nothing), matching

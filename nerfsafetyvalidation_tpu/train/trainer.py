@@ -355,13 +355,24 @@ class Trainer:
                 cv2.imwrite(os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
                             depth8)
         if write_video and all_preds:
-            import imageio
-            imageio.mimwrite(os.path.join(save_path, f"{name}_rgb.mp4"),
-                             np.stack(all_preds), fps=25, quality=8,
-                             macro_block_size=1)
-            imageio.mimwrite(os.path.join(save_path, f"{name}_depth.mp4"),
-                             np.stack(all_depths), fps=25, quality=8,
-                             macro_block_size=1)
+            try:
+                import imageio
+                imageio.mimwrite(os.path.join(save_path, f"{name}_rgb.mp4"),
+                                 np.stack(all_preds), fps=25, quality=8,
+                                 macro_block_size=1)
+                imageio.mimwrite(os.path.join(save_path, f"{name}_depth.mp4"),
+                                 np.stack(all_depths), fps=25, quality=8,
+                                 macro_block_size=1)
+            except (ValueError, ImportError):
+                # no ffmpeg backend available: fall back to PNG frames
+                import cv2
+                self.log("[WARN] no mp4 backend; writing PNG frames instead")
+                for i, (p, dd) in enumerate(zip(all_preds, all_depths)):
+                    cv2.imwrite(os.path.join(save_path,
+                                             f"{name}_{i:04d}_rgb.png"),
+                                cv2.cvtColor(p, cv2.COLOR_RGB2BGR))
+                    cv2.imwrite(os.path.join(save_path,
+                                             f"{name}_{i:04d}_depth.png"), dd)
         self.log("==> Finished Test.")
 
     # ----------------------------------------------------------------- mesh

@@ -130,3 +130,46 @@ class TestRunGrid:
         d = jnp.asarray([[0.0, 0.0, 1.0]] * 4)
         img = f(params, state, o, d)
         assert img.shape == (4, 3)
+
+
+class TestCompaction:
+    def test_compact_roundtrip(self):
+        from nerfsafetyvalidation_tpu.ops.marching import (
+            compact_samples, gather_compacted, scatter_back)
+        rng = np.random.default_rng(0)
+        mask = jnp.asarray(rng.uniform(size=(8, 16)) > 0.7)
+        vals = jnp.asarray(rng.normal(size=(8, 16, 3)), dtype=jnp.float32)
+        budget = 64
+        dest, kept, n = compact_samples(mask, budget)
+        assert int(n) == int(np.asarray(mask).sum())
+        comp = gather_compacted(vals, dest, budget)
+        back = np.asarray(scatter_back(comp, dest, (8, 16)))
+        expected = np.where(np.asarray(mask)[..., None], np.asarray(vals), 0.0)
+        np.testing.assert_allclose(back, expected, rtol=1e-6)
+
+    def test_compact_overflow_drops(self):
+        from nerfsafetyvalidation_tpu.ops.marching import compact_samples
+        mask = jnp.ones((4, 8), dtype=bool)
+        dest, kept, n = compact_samples(mask, budget=16)
+        assert int(np.asarray(kept).sum()) == 16
+        assert int(n) == 32
+
+    def test_run_grid_budget_matches_full(self):
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+        cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                            grid_size=16)
+        net = NeRFNetwork(cfg)
+        params = net.init(jax.random.PRNGKey(0))
+        state = R.RendererState.create(cfg.cascade, 16)
+        state = R.update_extra_state(net, params, state,
+                                     jax.random.PRNGKey(1), grid_size=16)
+        o = jnp.zeros((8, 3)).at[:, 2].set(-2.0)
+        d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
+        full = R.run_grid(net, params, state, o, d, max_samples=16,
+                          max_steps=128)
+        budg = R.run_grid(net, params, state, o, d, max_samples=16,
+                          max_steps=128, sample_budget=8 * 16)
+        np.testing.assert_allclose(np.asarray(full["image"]),
+                                   np.asarray(budg["image"]),
+                                   rtol=1e-3, atol=1e-4)
