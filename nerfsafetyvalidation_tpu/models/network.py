@@ -43,8 +43,17 @@ def _linear_init(key, in_dim, out_dim, dtype=jnp.float32):
                               minval=-bound, maxval=bound)
 
 
-def _mlp(params, h, dtype):
-    """Bias-free MLP with ReLU between layers (network.py:101-106)."""
+def _mlp(params, h, dtype, fused=False):
+    """Bias-free MLP with ReLU between layers (network.py:101-106).
+    fused=True routes through the pallas fully-fused kernel (ffmlp analog,
+    ops/pallas/fused_mlp.py) — one kernel per batch tile, activations in
+    VMEM."""
+    if fused:
+        from ..ops.pallas.fused_mlp import fused_mlp
+        prefix = h.shape[:-1]
+        out = fused_mlp(h.reshape(-1, h.shape[-1]), params,
+                        compute_dtype=dtype)
+        return out.reshape(prefix + (out.shape[-1],))
     n = len(params)
     for i, W in enumerate(params):
         h = jnp.dot(h.astype(dtype), W.astype(dtype),
@@ -197,7 +206,8 @@ class NeRFNetwork:
         """x: [..., 3] in [-bound, bound] -> {'sigma': [...], 'geo_feat': [..., G]}
         (network.py:126-143)."""
         h = self.encode_pos(params, x)
-        h = _mlp(params["sigma_net"], h, self.compute_dtype)
+        h = _mlp(params["sigma_net"], h, self.compute_dtype,
+                 fused=self.cfg.fused)
         sigma = trunc_exp(h[..., 0].astype(jnp.float32))
         geo_feat = h[..., 1:]
         return {"sigma": sigma, "geo_feat": geo_feat}
@@ -208,7 +218,8 @@ class NeRFNetwork:
         entries were never used by the composite anyway (weights <= 1e-4)."""
         d_enc = self.encode_dir(d)
         h = jnp.concatenate([d_enc, geo_feat.astype(d_enc.dtype)], axis=-1)
-        h = _mlp(params["color_net"], h, self.compute_dtype)
+        h = _mlp(params["color_net"], h, self.compute_dtype,
+                 fused=self.cfg.fused)
         rgb = jax.nn.sigmoid(h.astype(jnp.float32))
         if mask is not None:
             rgb = jnp.where(mask[..., None], rgb, 0.0)

@@ -1,0 +1,140 @@
+"""Fused multi-layer MLP kernel (the reference's ffmlp analog).
+
+Parity target: reference ffmlp/src/ffmlp.cu — a tiny-cuda-nn-style fully
+fused MLP that keeps every intermediate activation on chip
+(`kernel_mlp_fused`, :332-409; WMMA 16x16x16 tensor-core tiles with
+activations in shared memory). The TPU equivalent: one pallas_call per batch
+tile that chains all layer matmuls on the MXU with activations resident in
+VMEM — zero HBM round-trips between layers. Weights are replicated into
+every grid step (a few KB); rows are tiled at ROW_BLOCK.
+
+Constraints mirror the reference's (ffmlp/ffmlp.py:112-121): hidden widths
+work best as multiples of 8/128 lanes; arbitrary in/out dims are handled by
+zero-padding inside the wrapper. Backward falls to jax.custom_vjp with the
+standard matmul VJPs (the reference computes weight grads with CUTLASS
+split-k GEMMs; XLA emits the equivalent batched GEMMs here).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+ROW_BLOCK = 1024
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _fused_kernel(n_layers):
+    def kernel(x_ref, *refs):
+        w_refs = refs[:n_layers]
+        out_ref = refs[n_layers]
+        h = x_ref[:]
+        for i in range(n_layers):
+            h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
+            if i != n_layers - 1:
+                h = jax.nn.relu(h)
+            h = h.astype(x_ref.dtype)
+        out_ref[:] = h
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fused_forward(x, weights, interpret=False):
+    """x: [B, D_in] (padded); weights: tuple of [in, out] (padded).
+    Returns [B, D_out_padded]."""
+    B, D_in = x.shape
+    n_layers = len(weights)
+    D_out = weights[-1].shape[1]
+    grid = (B // ROW_BLOCK,)
+    in_specs = [pl.BlockSpec((ROW_BLOCK, D_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        _fused_kernel(n_layers),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROW_BLOCK, D_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D_out), x.dtype),
+        interpret=interpret,
+    )(x, *weights)
+
+
+def fused_mlp(x, weights, compute_dtype=jnp.bfloat16, interpret=None):
+    """Bias-free ReLU MLP, all layers fused in one TPU kernel.
+
+    x: [N, D_in] any float dtype; weights: list of [in, out] matrices.
+    Output: [N, D_out] float32. Differentiable (VJP via the pure-XLA
+    reference implementation, which is mathematically identical).
+    Non-TPU backends run the kernel in interpret mode.
+    """
+    if not _HAS_PALLAS:
+        return _xla_mlp(x, weights)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_mlp_vjp(x, tuple(weights),
+                          str(jnp.dtype(compute_dtype)), interpret)
+
+
+def _xla_mlp(x, weights, compute_dtype=jnp.bfloat16):
+    h = x
+    for i, w in enumerate(weights):
+        h = jnp.dot(h.astype(compute_dtype), w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        if i != len(weights) - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_mlp_vjp(x, weights, dtype_str, interpret):
+    return _fused_impl(x, weights, dtype_str, interpret)
+
+
+def _fused_impl(x, weights, dtype_str, interpret):
+    dtype = jnp.dtype(dtype_str)
+    N, D_in = x.shape
+    # pad rows to ROW_BLOCK and feature dims to lane multiples of 128
+    Np = _round_up(max(N, 1), ROW_BLOCK)
+    dims = [D_in] + [w.shape[1] for w in weights]
+    pdims = [_round_up(d, 128) for d in dims]
+    xp = jnp.zeros((Np, pdims[0]), dtype=dtype)
+    xp = xp.at[:N, :D_in].set(x.astype(dtype))
+    wps = []
+    for i, w in enumerate(weights):
+        wp = jnp.zeros((pdims[i], pdims[i + 1]), dtype=dtype)
+        wp = wp.at[:w.shape[0], :w.shape[1]].set(w.astype(dtype))
+        wps.append(wp)
+    out = _fused_forward(xp, tuple(wps), interpret=interpret)
+    return out[:N, :dims[-1]].astype(jnp.float32)
+
+
+def _fused_fwd(x, weights, dtype_str, interpret):
+    return _fused_impl(x, weights, dtype_str, interpret), (x, weights)
+
+
+def _fused_bwd(dtype_str, interpret, res, g):
+    x, weights = res
+    # recompute-through-XLA backward: identical math, XLA emits fused GEMMs
+    # for the weight grads (the reference's split-k CUTLASS role)
+    def ref(x, weights):
+        return _xla_mlp(x, weights, jnp.dtype(dtype_str))
+    _, vjp = jax.vjp(ref, x, weights)
+    dx, dws = vjp(g)
+    return dx, dws
+
+
+_fused_mlp_vjp.defvjp(_fused_fwd, _fused_bwd)
