@@ -37,7 +37,7 @@ def _scene_bitfield(cfg):
     xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
     c = 2.0 * (np.stack([xx, yy, zz], -1) + 0.5) / H - 1.0
     r = np.sqrt(c[..., 0] ** 2 + c[..., 1] ** 2)
-    ground = c[..., 2] < -0.85
+    ground = c[..., 2] < -0.96  # thin ground plane (~1 cell)
     pillars = (np.abs(r - 0.6) < 0.08) & (c[..., 2] < 0.2) & \
         ((np.arctan2(c[..., 1], c[..., 0]) * 8 % 2) < 1.0)
     occ = (ground | pillars).astype(np.float32) * 100.0

@@ -43,6 +43,9 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
                         help="fused MLP path (pallas)")
     parser.add_argument("--tcnn", action="store_true",
                         help="accepted for CLI parity; same fused path")
+    parser.add_argument("--encoding", type=str, default="hashgrid",
+                        choices=["hashgrid", "tiledgrid", "frequency", "None"],
+                        help="position encoding backbone")
     parser.add_argument("--color_space", type=str, default="srgb")
     parser.add_argument("--preload", action="store_true")
     parser.add_argument("--bound", type=float, default=2)

@@ -140,7 +140,7 @@ def network_config_from_opt(opt) -> NetworkConfig:
     """Build a NetworkConfig from an argparse-style namespace with the
     reference CLI flags (main_nerf.py:10-59)."""
     return NetworkConfig(
-        encoding="hashgrid",
+        encoding=getattr(opt, "encoding", "hashgrid"),
         bound=opt.bound,
         density_scale=1.0,
         min_near=opt.min_near,
@@ -148,7 +148,7 @@ def network_config_from_opt(opt) -> NetworkConfig:
         bg_radius=opt.bg_radius,
         grid_ray=getattr(opt, "cuda_ray", False),
         compute_dtype="bfloat16" if getattr(opt, "fp16", False) else "float32",
-        fused=getattr(opt, "ff", False),
+        fused=getattr(opt, "ff", False) or getattr(opt, "tcnn", False),
     )
 
 

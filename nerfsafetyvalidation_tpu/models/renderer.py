@@ -322,16 +322,26 @@ def run_grid(net, params, state: "RendererState", rays_o, rays_d,
     K = max_samples
     if sample_budget is not None:
         # query only the real samples: compact [N, K] -> [budget] (the
-        # deterministic replacement for the reference's atomic compaction)
+        # deterministic replacement for the reference's atomic compaction).
+        # HBM scatter/gather costs are per ROW, so compact ONE packed
+        # (t, ray_id) row per sample and rebuild xyz/dir from the ray — one
+        # scatter in, one combined (sigma, rgb) gather back.
         from ..ops.marching import compact_samples, gather_compacted, \
             scatter_back
         dest, kept, _ = compact_samples(m["mask"], sample_budget)
-        dirs_full = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3))
-        xs = gather_compacted(m["xyzs"], dest, sample_budget)
-        ds = gather_compacted(dirs_full, dest, sample_budget)
-        sig_c, rgb_c = net.apply(params, xs, ds)
-        sigmas = scatter_back(sig_c[:, None], dest, (N, K))[..., 0]
-        rgbs = scatter_back(rgb_c, dest, (N, K))
+        ray_ids = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.float32)[:, None], (N, K))
+        packed = jnp.stack([m["ts"], ray_ids], axis=-1)          # [N, K, 2]
+        pc = gather_compacted(packed, dest, sample_budget)       # [B, 2]
+        rid = pc[:, 1].astype(jnp.int32)
+        o_c = jnp.take(rays_o, rid, axis=0)
+        d_c = jnp.take(rays_d, rid, axis=0)
+        xs = jnp.clip(o_c + pc[:, :1] * d_c, -cfg.bound, cfg.bound)
+        sig_c, rgb_c = net.apply(params, xs, d_c)
+        both = jnp.concatenate([sig_c[:, None], rgb_c], axis=-1)  # [B, 4]
+        back = scatter_back(both, dest, (N, K))                   # [N, K, 4]
+        sigmas = back[..., 0]
+        rgbs = back[..., 1:]
         m = dict(m, mask=m["mask"] & kept)
     else:
         xyzs = m["xyzs"].reshape(-1, 3)

@@ -147,8 +147,14 @@ class Trainer:
         upsample_steps = getattr(opt, "upsample_steps", 128)
         linear_cs = getattr(opt, "color_space", "srgb") == "linear"
 
+        grid_ray = net.cfg.grid_ray
+        grid_max_samples = getattr(opt, "grid_max_samples", 64)
+        grid_max_steps = getattr(opt, "max_steps", 1024)
+        dt_gamma = getattr(opt, "dt_gamma", 0.0)
+
         @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, key, rays_o, rays_d, images):
+        def step(params, opt_state, key, rays_o, rays_d, images,
+                 renderer_state=None):
             """rays: [B, N, 3]; images: [B, N, C] (C = 3 or 4)."""
             k_bg, k_render = jax.random.split(key)
             C = images.shape[-1]
@@ -170,9 +176,19 @@ class Trainer:
             flat_gt = gt_rgb.reshape(-1, 3)
 
             def loss_fn(p):
-                out = R.run(net, p, flat_o, flat_d, num_steps=num_steps,
-                            upsample_steps=upsample_steps, bg_color=flat_bg,
-                            perturb=True, key=k_render, training=True)
+                if grid_ray and renderer_state is not None:
+                    # occupancy-marched training render (the reference's
+                    # cuda_ray train path, renderer.py:286-327)
+                    out = R.run_grid(net, p, renderer_state, flat_o, flat_d,
+                                     max_samples=grid_max_samples,
+                                     max_steps=grid_max_steps,
+                                     dt_gamma=dt_gamma, bg_color=flat_bg,
+                                     perturb_key=k_render)
+                else:
+                    out = R.run(net, p, flat_o, flat_d, num_steps=num_steps,
+                                upsample_steps=upsample_steps,
+                                bg_color=flat_bg, perturb=True, key=k_render,
+                                training=True)
                 pred = out["image"]
                 per_ray = jnp.mean((pred - flat_gt) ** 2, axis=-1)
                 return jnp.mean(per_ray), (pred, per_ray)
@@ -197,7 +213,8 @@ class Trainer:
                 batch_axis=1)
             rays_o, rays_d, images = sharded["o"], sharded["d"], sharded["im"]
         self.params, self.opt_state, loss, pred, per_ray = self._train_step(
-            self.params, self.opt_state, sub, rays_o, rays_d, images)
+            self.params, self.opt_state, sub, rays_o, rays_d, images,
+            self.renderer_state)
 
         # error-map EMA update (utils.py:456-478), host side
         if self.error_map is not None and "index" in data:

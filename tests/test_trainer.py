@@ -155,3 +155,22 @@ def test_mesh_export(tiny_net, tmp_path):
     p = str(tmp_path / "m.ply")
     write_ply(p, verts, faces)
     assert os.path.getsize(p) > 0
+
+
+def test_grid_ray_training(tmp_path):
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+    cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                        grid_ray=True, grid_size=16)
+    net = NeRFNetwork(cfg)
+    trainer = Trainer("t", make_opt(grid_max_samples=8, max_steps=64,
+                                    update_extra_interval=2),
+                      net, workspace=str(tmp_path / "wsg"),
+                      use_checkpoint="scratch", mute=True)
+    assert trainer.renderer_state is not None
+    loader = FakeLoader(FakeData())
+    trainer.epoch = 1
+    loss = trainer.train_one_epoch(loader)
+    assert np.isfinite(loss)
+    # density grid was refreshed during the epoch
+    assert int(trainer.renderer_state.iter_density) >= 1
