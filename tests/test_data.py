@@ -1,0 +1,117 @@
+"""Dataset provider + torch-checkpoint converter tests."""
+
+import json
+import os
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
+
+
+def make_blender_dataset(root, n=3, H=16, W=16):
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    frames = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 255, (H, W, 4)).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "train", f"r_{i}.png"), img)
+        pose = np.eye(4)
+        pose[2, 3] = 3.0 + i * 0.1
+        frames.append({"file_path": f"./train/r_{i}",
+                       "transform_matrix": pose.tolist()})
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+
+
+def make_opt(root, **kw):
+    d = dict(path=root, preload=False, scale=0.5, offset=[0, 0, 0],
+             bound=1.0, fp16=False, num_rays=32, rand_pose=-1,
+             error_map=False, color_space="srgb")
+    d.update(kw)
+    return types.SimpleNamespace(**d)
+
+
+class TestNeRFDataset:
+    def test_blender_mode_load(self, tmp_path):
+        root = str(tmp_path / "scene")
+        make_blender_dataset(root)
+        ds = NeRFDataset(make_opt(root), type="train")
+        assert ds.mode == "blender"
+        assert len(ds) == 3
+        assert ds.H == 16 and ds.W == 16
+        assert ds.images.shape == (3, 16, 16, 4)
+        # intrinsics from camera_angle_x
+        fl = 16 / (2 * np.tan(0.7 / 2))
+        np.testing.assert_allclose(ds.intrinsics[0], fl, rtol=1e-6)
+        # pose scaled by opt.scale through nerf_matrix_to_ngp
+        assert abs(ds.poses[0][2, 3]) <= 3.0
+
+    def test_collate_and_loader(self, tmp_path):
+        root = str(tmp_path / "scene2")
+        make_blender_dataset(root)
+        ds = NeRFDataset(make_opt(root), type="train")
+        loader = ds.dataloader(jax.random.PRNGKey(0))
+        batches = list(loader)
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["rays_o"].shape == (1, 32, 3)
+        assert b["images"].shape == (1, 32, 4)
+        # second epoch reshuffles but still yields all images
+        assert len(list(loader)) == 3
+
+    def test_error_map_initialized(self, tmp_path):
+        root = str(tmp_path / "scene3")
+        make_blender_dataset(root)
+        ds = NeRFDataset(make_opt(root, error_map=True), type="train")
+        assert ds.error_map.shape == (3, 128 * 128)
+
+
+class TestTorchConverter:
+    def test_roundtrip_torch_checkpoint(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from nerfsafetyvalidation_tpu.data.convert import (
+            convert_checkpoint, torch_state_dict_to_params)
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+
+        cfg = NetworkConfig(num_levels=4, desired_resolution=64, bound=1.0)
+        net = NeRFNetwork(cfg)
+        ref = net.init(jax.random.PRNGKey(0))
+
+        # fabricate a torch-format checkpoint holding the same weights
+        sd = {"encoder.embeddings":
+              torch.from_numpy(np.asarray(ref["encoder"]["embeddings"]))}
+        for i, w in enumerate(ref["sigma_net"]):
+            sd[f"sigma_net.{i}.weight"] = torch.from_numpy(np.asarray(w).T)
+        for i, w in enumerate(ref["color_net"]):
+            sd[f"color_net.{i}.weight"] = torch.from_numpy(np.asarray(w).T)
+        path = str(tmp_path / "ref.pth")
+        torch.save({"model": sd, "epoch": 7, "global_step": 123}, path)
+
+        params, meta = convert_checkpoint(path)
+        assert meta["epoch"] == 7
+        x = jnp.asarray(np.random.default_rng(0).uniform(-0.9, 0.9, (8, 3)),
+                        dtype=jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
+        s0, c0 = net.apply(ref, x, d)
+        s1, c1 = net.apply(params, x, d)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=1e-5)
+
+    def test_converted_file_loads_in_checkpoint_manager(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from nerfsafetyvalidation_tpu.data.convert import convert_checkpoint
+        from nerfsafetyvalidation_tpu.train.checkpoint import CheckpointManager
+        sd = {"sigma_net.0.weight": torch.zeros(64, 32)}
+        src = str(tmp_path / "raw.pth")
+        torch.save(sd, src)
+        out = str(tmp_path / "conv.ckpt")
+        convert_checkpoint(src, out)
+        state = CheckpointManager.load(out)
+        assert state["model"]["sigma_net"][0].shape == (32, 64)
