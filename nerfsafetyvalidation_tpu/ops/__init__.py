@@ -18,3 +18,4 @@ from .ray_ops import near_far_from_aabb, sph_from_ray, morton3d, morton3d_invert
 from .compositing import composite_rays, composite_weights
 from .sample_pdf import sample_pdf
 from .losses import mape_loss, huber_loss, eff_distloss
+from .marching import march_rays, composite_marched, compact_samples

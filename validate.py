@@ -12,6 +12,7 @@ Blender; --batched_rollouts switches to the vmapped rollout engine
 (validation/batched.py) for population-scale throughput.
 """
 
+import os
 import random
 import shutil
 import subprocess
@@ -42,9 +43,53 @@ from nerfsafetyvalidation_tpu.validation.utils.paths import (
 from nerfsafetyvalidation_tpu.validation.replay import replay_MC, replay_CEM
 
 
+def validate_batched(simulator, stresstest, noise_mean, noise_std,
+                     n_simulations, opt):
+    """TPU-native population mode: one planner init, then the whole
+    disturbance population rolls out as a single jitted program
+    (validation/batched.py). Lite semantics: open-loop planner actions, no
+    per-step estimator/UQ (those interleave host processes); risks,
+    collision rates and likelihoods match the sequential loop's dynamics+SDF
+    core."""
+    import csv
+    from nerfsafetyvalidation_tpu.validation.batched import BatchedRolloutEngine
+
+    simulator.reset()  # A* + learn_init (may raise -> restart loop)
+    actions = np.asarray(simulator.traj.get_actions())
+    eng = BatchedRolloutEngine(
+        actions=actions, dt=simulator.agent_cfg["dt"],
+        g=simulator.agent_cfg["g"], mass=simulator.agent_cfg["mass"],
+        I=np.asarray(simulator.agent_cfg["I"], dtype=np.float32),
+        sdf=simulator.sdf,
+        sdf_start=[simulator.START_X, simulator.START_Y, simulator.START_Z],
+        granularity=simulator.GRANULARITY,
+        noise_mean=np.asarray(noise_mean), noise_std=np.asarray(noise_std),
+        start_state=np.asarray(simulator.true_start_state))
+    key = jax.random.PRNGKey(opt.seed)
+    if stresstest == "Cross Entropy Method":
+        res = eng.cem(key, m=max(n_simulations, 10), m_elite=5, kmax=5)
+        print(f"Batched CEM history: {res['history']}")
+    else:
+        res = eng.monte_carlo(key, n_simulations)
+        print(f"Batched MC: collision rate {res['collision_rate']:.4f} over "
+              f"{n_simulations} rollouts")
+        os.makedirs("results", exist_ok=True)
+        with open(f"results/collisionValuesBatchedMC_n{n_simulations}.csv",
+                  "w") as f:
+            w = csv.writer(f)
+            for i in range(n_simulations):
+                w.writerow([i, bool(res["ever_collided"][i]),
+                            float(res["risk"][i]),
+                            int(res["first_collision_step"][i])])
+    return res
+
+
 def validate(simulator, stresstest, noise_mean, noise_std, n_simulations,
              steps, blend_file, workspace, opt):
     """validate.py:23-54."""
+    if getattr(opt, "batched_rollouts", False):
+        return validate_batched(simulator, stresstest, noise_mean, noise_std,
+                                n_simulations, opt)
     if stresstest == "Monte Carlo":
         print(f"Starting Monte Carlo test with {n_simulations} simulations "
               f"and {steps} steps each")
