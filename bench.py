@@ -49,7 +49,17 @@ def _scene_bitfield(cfg):
 
 
 def main():
+    import os
     import jax
+    # persistent compile cache: first compile of the marched renderer takes
+    # minutes through the remote-compile tunnel; cache it next to the repo
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from nerfsafetyvalidation_tpu.config import NetworkConfig
     from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
