@@ -218,6 +218,27 @@ def build_cell_table(embeddings, spec: HashGridSpec):
     return jnp.concatenate(rows, axis=0)
 
 
+# Fused multi-level gathers materialize [chunk, L, 2^D, C] intermediates, so
+# large point batches are processed in lax.map chunks of this many points
+# (keeps peak HBM ~100 MB while keeping each gather op large enough to hit
+# full gather throughput).
+ENCODE_CHUNK = 131072
+
+
+def _chunked_encode(encode_one, x, out_dim):
+    """Apply encode_one([chunk, D]) over x [N, D] in fixed-size chunks."""
+    N = x.shape[0]
+    if N <= ENCODE_CHUNK:
+        return encode_one(x)
+    n_chunks = -(-N // ENCODE_CHUNK)
+    pad = n_chunks * ENCODE_CHUNK - N
+    xp = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0) \
+        if pad else x
+    out = jax.lax.map(encode_one,
+                      xp.reshape(n_chunks, ENCODE_CHUNK, x.shape[1]))
+    return out.reshape(n_chunks * ENCODE_CHUNK, out_dim)[:N]
+
+
 def hash_grid_encode_cell(cell_table, x, spec: HashGridSpec,
                           bound: float = 1.0):
     """Cell-layout encode: one row gather per (point, level); trilinear blend
@@ -226,29 +247,42 @@ def hash_grid_encode_cell(cell_table, x, spec: HashGridSpec,
     levels."""
     prefix = x.shape[:-1]
     x = x.reshape(-1, spec.input_dim)
+    out = _chunked_encode(
+        lambda xc: _encode_cell_chunk(cell_table, xc, spec, bound),
+        x, spec.output_dim)
+    return out.reshape(prefix + (spec.output_dim,))
+
+
+def _encode_cell_chunk(cell_table, x, spec, bound):
     u = (x.astype(jnp.float32) + bound) / (2.0 * bound)
     oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)
     bits_f = _corner_bits(spec.input_dim).astype(np.float32)
     sizes, offsets, strides = cell_sizes(spec)
 
-    outs = []
+    # index math for every level (cheap VPU integer ops), then ONE fused
+    # gather op across all levels: TPU gather throughput grows with rows/op
+    # (per-op issue cost dominates small gathers), so one [N*L]-row take
+    # beats L separate [N]-row takes by ~4-5x.
+    all_rows, all_w = [], []
     for lvl in range(spec.num_levels):
         scale = np.float32(spec.scales[lvl])
         pos = u * scale + (0.0 if spec.align_corners else np.float32(0.5))
         pos_floor = jnp.floor(pos)
         frac = pos - pos_floor
         cell_grid = pos_floor.astype(jnp.uint32)
-        rows = _cell_rows(spec, lvl, sizes, offsets, strides, cell_grid)
-        feats = jnp.take(cell_table, rows, axis=0)              # [N, 2^D*C]
-        feats = feats.reshape(feats.shape[0], 2 ** spec.input_dim,
-                              spec.level_dim)
-        w = jnp.prod(jnp.where(jnp.asarray(bits_f)[None] > 0,
-                               frac[:, None, :], 1.0 - frac[:, None, :]),
-                     axis=-1)
-        outs.append(jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=1))
-    out = jnp.concatenate(outs, axis=-1)
-    out = jnp.where(oob[:, None], jnp.zeros_like(out), out)
-    return out.reshape(prefix + (spec.output_dim,))
+        all_rows.append(_cell_rows(spec, lvl, sizes, offsets, strides,
+                                   cell_grid))
+        all_w.append(jnp.prod(jnp.where(jnp.asarray(bits_f)[None] > 0,
+                                        frac[:, None, :],
+                                        1.0 - frac[:, None, :]), axis=-1))
+    rows = jnp.stack(all_rows, axis=1)                  # [N, L]
+    w = jnp.stack(all_w, axis=1)                        # [N, L, 2^D]
+    feats = jnp.take(cell_table, rows, axis=0)          # [N, L, 2^D*C]
+    feats = feats.reshape(feats.shape[0], spec.num_levels,
+                          2 ** spec.input_dim, spec.level_dim)
+    out = jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=2)
+    out = out.reshape(out.shape[0], spec.output_dim)
+    return jnp.where(oob[:, None], jnp.zeros_like(out), out)
 
 
 def hash_grid_encode(embeddings, x, spec: HashGridSpec, bound: float = 1.0):
@@ -259,12 +293,21 @@ def hash_grid_encode(embeddings, x, spec: HashGridSpec, bound: float = 1.0):
     """
     prefix = x.shape[:-1]
     x = x.reshape(-1, spec.input_dim)
+    out = _chunked_encode(
+        lambda xc: _encode_corner_chunk(embeddings, xc, spec, bound),
+        x, spec.output_dim)
+    return out.reshape(prefix + (spec.output_dim,))
+
+
+def _encode_corner_chunk(embeddings, x, spec, bound):
     u = (x.astype(jnp.float32) + bound) / (2.0 * bound)
     oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)  # [N]
     bits = _corner_bits(spec.input_dim)  # [2^D, D] uint32 (static)
     bits_f = bits.astype(np.float32)
 
-    outs = []
+    # per-level index math, then ONE fused gather across all levels/corners
+    # (gather throughput grows with rows per op; see hash_grid_encode_cell)
+    all_rows, all_w = [], []
     for lvl in range(spec.num_levels):
         scale = np.float32(spec.scales[lvl])
         pos = u * scale + (0.0 if spec.align_corners else np.float32(0.5))
@@ -275,10 +318,11 @@ def hash_grid_encode(embeddings, x, spec: HashGridSpec, bound: float = 1.0):
         # trilinear weights: prod_d (bit ? frac : 1-frac)
         w = jnp.prod(jnp.where(jnp.asarray(bits_f)[None] > 0,
                                frac[:, None, :], 1.0 - frac[:, None, :]), axis=-1)  # [N, 2^D]
-        rows = _level_rows(spec, lvl, corner_grid)  # [N, 2^D]
-        feats = jnp.take(embeddings, rows, axis=0)  # [N, 2^D, C]
-        out = jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=1)  # [N, C]
-        outs.append(out)
-    out = jnp.concatenate(outs, axis=-1)  # [N, L*C]
-    out = jnp.where(oob[:, None], jnp.zeros_like(out), out)
-    return out.reshape(prefix + (spec.output_dim,))
+        all_rows.append(_level_rows(spec, lvl, corner_grid))  # [N, 2^D]
+        all_w.append(w)
+    rows = jnp.stack(all_rows, axis=1)                 # [N, L, 2^D]
+    w = jnp.stack(all_w, axis=1)                       # [N, L, 2^D]
+    feats = jnp.take(embeddings, rows, axis=0)         # [N, L, 2^D, C]
+    out = jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=2)  # [N, L, C]
+    out = out.reshape(out.shape[0], spec.output_dim)   # level-major [N, L*C]
+    return jnp.where(oob[:, None], jnp.zeros_like(out), out)
