@@ -30,6 +30,14 @@ from .astar import astar
 
 SAVE_STEP = 50
 
+# Compiled-optimizer cache shared across Planner instances: the horizon
+# shrinks by one state per MPC step (update_state), so each trajectory
+# length triggers one compile — but stress tests reset the planner per
+# simulation (NerfSimulator.py:183-223) and replay the same lengths, so
+# caching by (density_fn, shape, hyperparams) makes every simulation after
+# the first reuse the compiled replan blocks.
+_OPT_CACHE = {}
+
 
 def calc_everything(states, initial_accel, start_state, end_state, dt, g_vec,
                     J, mass):
@@ -193,9 +201,11 @@ class Planner:
         return calc_everything(states, ia, self.start_state, self.end_state,
                                self.dt, self.g, self.J, self.mass)
 
-    def _cost_terms(self, states, ia, epoch):
+    def _cost_terms(self, states, ia, epoch, start_state=None, end_state=None):
+        start_state = self.start_state if start_state is None else start_state
+        end_state = self.end_state if end_state is None else end_state
         pos, vel, accel, rot_matrix, omega, angular_accel, actions = \
-            calc_everything(states, ia, self.start_state, self.end_state,
+            calc_everything(states, ia, start_state, end_state,
                             self.dt, self.g, self.J, self.mass)
         fz = actions[:, 0]
         torques = jnp.linalg.norm(actions[:, 1:], axis=-1)
@@ -227,13 +237,14 @@ class Planner:
         tx = optax.adam(self.lr)
 
         @jax.jit
-        def block(params, opt_state, epoch0, n_steps):
+        def block(params, opt_state, epoch0, n_steps, start_state, end_state):
             def body(i, carry):
                 params, opt_state = carry
                 def loss_fn(p):
                     total, _ = self._cost_terms(p["states"],
                                                 p["initial_accel"],
-                                                epoch0 + i)
+                                                epoch0 + i,
+                                                start_state, end_state)
                     return jnp.mean(total)
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -246,7 +257,16 @@ class Planner:
 
     def _learn(self, epochs, tag, iteration=None):
         if self._opt_block is None:
-            self._opt_block = self._build_opt()
+            cache_key = (id(self.nerf), self.states.shape,
+                         float(self.lr), int(self.fade_out_epoch),
+                         float(self.fade_out_sharpness), float(self.dt),
+                         float(self.mass),
+                         np.asarray(self.J).tobytes(),
+                         np.asarray(self.g).tobytes(),
+                         np.asarray(self.robot_body).tobytes())
+            if cache_key not in _OPT_CACHE:
+                _OPT_CACHE[cache_key] = self._build_opt()
+            self._opt_block = _OPT_CACHE[cache_key]
         tx, block = self._opt_block
         params = self.params()
         opt_state = tx.init(params)
@@ -262,7 +282,7 @@ class Planner:
                                 f"{tag}_costs" / (suffix + ".json"))
             self.epoch = done
             params, opt_state = block(params, opt_state, jnp.asarray(done),
-                                      n)
+                                      n, self.start_state, self.end_state)
             self.states = params["states"]
             self.initial_accel = params["initial_accel"]
             done += n

@@ -190,6 +190,8 @@ class CrossEntropyMethod:
                 self.covs[i] = jnp.asarray(cov, dtype=jnp.float32)
                 print("Covariance matrix is positive definite: "
                       + str(is_positive_definite(jnp.asarray(cov))))
+                if self.plot:
+                    self._plot_noise_histogram(population, i)
 
             try:
                 self.q = SeedableMultivariateNormal(self.means, self.covs,
@@ -218,6 +220,28 @@ class CrossEntropyMethod:
             self.simulator)
         return (self.means, self.covs, self.q, best_mean, best_cov,
                 best_value)
+
+    def _plot_noise_histogram(self, population, step):
+        """Per-step noise-vector distribution plots (CEM.py:255-262)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        try:
+            import seaborn as sns
+        except ImportError:
+            sns = None
+        os.makedirs("./results/pltpaths", exist_ok=True)
+        plt.figure()
+        for sample in population:
+            if sns is not None:
+                sns.histplot(np.asarray(sample[step]), kde=True, bins=30)
+            else:
+                plt.hist(np.asarray(sample[step]), bins=30, alpha=0.5)
+        plt.title(f"Distribution of noise vectors at step {step}")
+        plt.xlabel("Noise")
+        plt.ylabel("Density")
+        plt.savefig(f"./results/pltpaths/noise_distribution_step_{step}.png")
+        plt.close()
 
     def _plot_scores(self, populationScores, eliteScores):
         import matplotlib
