@@ -30,7 +30,8 @@ def _scene_bitfield(cfg):
     ring of pillars occupying ~5% of the grid (matches a converged density
     grid's sparsity; the bench measures throughput, not fidelity)."""
     import jax.numpy as jnp
-    from nerfsafetyvalidation_tpu.ops.ray_ops import packbits, morton3d
+    from nerfsafetyvalidation_tpu.ops.ray_ops import (packbits, morton3d,
+                                                      occupancy_to_skip_grid)
 
     H = cfg.grid_size
     g = np.arange(H)
@@ -45,7 +46,9 @@ def _scene_bitfield(cfg):
     coords = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
     idx = np.asarray(morton3d(jnp.asarray(coords)))
     grid[0, idx] = occ.ravel()
-    return packbits(jnp.asarray(grid), 0.5)
+    bitfield = packbits(jnp.asarray(grid), 0.5)
+    skip = occupancy_to_skip_grid(jnp.asarray(grid) > 0.5, H)
+    return bitfield, skip
 
 
 def main():
@@ -73,11 +76,13 @@ def main():
     params = net.to_cell(params)  # fast inference table layout
 
     state = R.RendererState.create(cfg.cascade, cfg.grid_size)
+    bitfield, skip = _scene_bitfield(cfg)
     state = R.RendererState(
         density_grid=state.density_grid,
-        density_bitfield=_scene_bitfield(cfg),
+        density_bitfield=bitfield,
         mean_density=state.mean_density,
-        iter_density=state.iter_density)
+        iter_density=state.iter_density,
+        skip_grid=skip)
 
     pose = np.eye(4, dtype=np.float32)
     pose[2, 3] = -2.5

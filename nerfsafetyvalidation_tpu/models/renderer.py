@@ -46,10 +46,15 @@ class RendererState:
     density_bitfield: jnp.ndarray   # [CAS * H^3 // 8] uint8
     mean_density: jnp.ndarray       # scalar f32
     iter_density: jnp.ndarray       # scalar i32
+    # chebyshev distance-to-occupied per cell (uint8, morton order) for
+    # long-range empty-space jumps; zeros = "unknown, treat every cell as
+    # occupied" only when all-zero AND the bitfield is also empty, so the
+    # marcher falls back to the bitfield when skip_grid is unset
+    skip_grid: jnp.ndarray = None   # [CAS, H^3] uint8 or None
 
     def tree_flatten(self):
         return ((self.density_grid, self.density_bitfield,
-                 self.mean_density, self.iter_density), None)
+                 self.mean_density, self.iter_density, self.skip_grid), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -63,6 +68,7 @@ class RendererState:
             density_bitfield=jnp.zeros((cascade * n // 8,), dtype=jnp.uint8),
             mean_density=jnp.zeros((), dtype=jnp.float32),
             iter_density=jnp.zeros((), dtype=jnp.int32),
+            skip_grid=None,
         )
 
 
@@ -317,7 +323,8 @@ def run_grid(net, params, state: "RendererState", rays_o, rays_d,
     m = march_rays(rays_o, rays_d, nears, fars, state.density_bitfield,
                    cfg.bound, cfg.cascade, cfg.grid_size,
                    max_samples=max_samples, max_steps=max_steps,
-                   dt_gamma=dt_gamma, perturb=perturb_key)
+                   dt_gamma=dt_gamma, perturb=perturb_key,
+                   skip_grid=state.skip_grid)
 
     K = max_samples
     if sample_budget is not None:
@@ -432,5 +439,7 @@ def update_extra_state(net, params, state: RendererState, key,
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     bitfield = packbits(new_grid, thresh)
+    from ..ops.ray_ops import occupancy_to_skip_grid
+    skip = occupancy_to_skip_grid(new_grid > thresh, grid_size)
     return RendererState(new_grid, bitfield, mean_density,
-                         state.iter_density + 1)
+                         state.iter_density + 1, skip)

@@ -2,7 +2,7 @@
 
 Builds the shared library on demand with g++ (no pybind11 dependency);
 callers degrade to pure-python implementations when the toolchain or the
-build is unavailable. Build artifact: nsv_native.so next to this file.
+build is unavailable. Build artifact: libnsv_native.so next to this file.
 """
 
 import ctypes
@@ -13,7 +13,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "nsv_native.cpp")
-_SO = os.path.join(_DIR, "nsv_native.so")
+_SO = os.path.join(_DIR, "libnsv_native.so")
 _lib = None
 _tried = False
 

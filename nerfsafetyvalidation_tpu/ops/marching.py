@@ -48,7 +48,8 @@ def _mip_from_dt(dt, grid_size, cascade):
 
 def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
                cascade: int, grid_size: int = 128, max_samples: int = 64,
-               max_steps: int = 1024, dt_gamma: float = 0.0, perturb=None):
+               max_steps: int = 1024, dt_gamma: float = 0.0, perturb=None,
+               skip_grid=None):
     """Generate up to `max_samples` occupied-space samples per ray.
 
     Returns dict: xyzs [N, K, 3], deltas [N, K] (dt), rs [N, K] (depth step,
@@ -83,8 +84,15 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
         nxyz = jnp.clip(0.5 * (pos * mip_rbound[:, None] + 1.0) * H,
                         0.0, H - 1).astype(jnp.int32)                # [N,3]
         index = level * (H ** 3) + morton3d(nxyz)                    # [N]
-        byte = jnp.take(bitfield, index >> 3, axis=0)
-        occ = ((byte >> (index & 7).astype(jnp.uint8)) & 1) > 0      # [N]
+        if skip_grid is not None:
+            # chebyshev skip-distance grid: 0 = occupied, d > 0 allows a
+            # safe jump of (d-1) cell widths (ops/ray_ops.py
+            # occupancy_to_skip_grid)
+            skip = jnp.take(skip_grid.reshape(-1), index, axis=0)
+            occ = skip == 0
+        else:
+            byte = jnp.take(bitfield, index >> 3, axis=0)
+            occ = ((byte >> (index & 7).astype(jnp.uint8)) & 1) > 0  # [N]
 
         active = (t < fars) & (count < K)
         emit = occ & active
@@ -103,6 +111,11 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
                 + 0.5 * jnp.sign(rays_d)) * (2.0 / H) - 1.0
         t_exit = (cell * mip_bound[:, None] - pos) / rays_d          # [N,3]
         tt = t + jnp.maximum(0.0, jnp.min(t_exit, axis=-1))
+        if skip_grid is not None:
+            # long-range jump: (skip-1) cell widths are guaranteed free
+            cell_size = 2.0 * mip_bound / H
+            tt = jnp.maximum(
+                tt, t + (skip.astype(jnp.float32) - 1.0) * cell_size)
         # at least one dt step, then ceil to reach tt like the do-while
         skip_t = jnp.maximum(new_t, tt)
         t = jnp.where(active, jnp.where(emit, new_t, skip_t), t)

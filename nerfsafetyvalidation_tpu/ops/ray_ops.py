@@ -12,6 +12,7 @@ XLA fuses with their consumers.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _F32_MAX = np.float32(np.finfo(np.float32).max)
@@ -101,6 +102,47 @@ def packbits(grid, thresh):
     occ = (flat > thresh).astype(jnp.uint8).reshape(-1, 8)
     shifts = jnp.asarray(np.arange(8, dtype=np.uint8))
     return jnp.sum(occ << shifts, axis=-1, dtype=jnp.uint8)
+
+
+def occupancy_to_skip_grid(occ, grid_size: int, max_skip: int = 15):
+    """Chebyshev distance-to-occupied per cell, capped at max_skip.
+
+    occ: [CAS, H^3] bool in MORTON order (same layout as the density grid).
+    Returns uint8 [CAS, H^3] morton-ordered where 0 = occupied and d > 0
+    means the nearest occupied cell is at least d cells away (L-inf), so a
+    ray may safely jump (d-1) cell-widths — the hierarchical empty-space
+    skip that replaces per-cell DDA stepping (cf. the VDB/hierarchical
+    traversal literature; the reference marches cell by cell,
+    raymarching.cu:392-403).
+
+    Computed by iterated 3x3x3 min-pooling (morton -> xyz via a static
+    permutation, max_skip reduce_window rounds, xyz -> morton back).
+    """
+    H = grid_size
+    cas = occ.shape[0]
+    g = jnp.arange(H, dtype=jnp.int32)
+    xx, yy, zz = jnp.meshgrid(g, g, g, indexing="ij")
+    coords = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], -1)
+    morton = morton3d(coords)                      # xyz-row -> morton index
+
+    # distance field in xyz layout: 0 where occupied, +inf elsewhere
+    occ_xyz = jnp.zeros((cas, H * H * H), dtype=jnp.float32)
+    occ_xyz = occ_xyz.at[:, :].set(
+        jnp.take(occ.astype(jnp.float32), morton, axis=1))
+    d = jnp.where(occ_xyz > 0, 0.0, float(max_skip)).reshape(cas, H, H, H)
+
+    def round_fn(_, d):
+        m = jax.lax.reduce_window(
+            d, jnp.inf, jax.lax.min, (1, 3, 3, 3), (1, 1, 1, 1),
+            "SAME")
+        return jnp.minimum(d, m + 1.0)
+
+    d = jax.lax.fori_loop(0, max_skip, round_fn, d)
+    d = d.reshape(cas, H * H * H)
+    # back to morton order: skip[morton[i]] = d_xyz[i]
+    skip = jnp.zeros_like(d)
+    skip = skip.at[:, morton].set(d)
+    return jnp.clip(skip, 0, max_skip).astype(jnp.uint8)
 
 
 def bitfield_lookup(bitfield, idx):

@@ -173,3 +173,56 @@ class TestCompaction:
         np.testing.assert_allclose(np.asarray(full["image"]),
                                    np.asarray(budg["image"]),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestSkipGrid:
+    def test_skip_grid_distances(self):
+        from nerfsafetyvalidation_tpu.ops.ray_ops import occupancy_to_skip_grid
+        gs = 16
+        # one occupied cell at (8, 8, 8)
+        g = np.arange(gs)
+        xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+        coords = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+        occ = np.zeros((1, gs ** 3), dtype=bool)
+        center_m = int(np.asarray(morton3d(jnp.asarray([[8, 8, 8]]))))
+        occ[0, center_m] = True
+        skip = np.asarray(occupancy_to_skip_grid(jnp.asarray(occ), gs))
+        # occupied cell -> 0
+        assert skip[0, center_m] == 0
+        # cell at chebyshev distance 3
+        m3 = int(np.asarray(morton3d(jnp.asarray([[11, 8, 8]]))))
+        assert skip[0, m3] == 3
+        m_diag = int(np.asarray(morton3d(jnp.asarray([[10, 10, 10]]))))
+        assert skip[0, m_diag] == 2
+        # far corner capped at max_skip
+        m_far = int(np.asarray(morton3d(jnp.asarray([[0, 0, 0]]))))
+        assert skip[0, m_far] == 8  # chebyshev distance exactly 8
+
+    def test_march_with_skip_grid_matches_bitfield(self):
+        from nerfsafetyvalidation_tpu.ops.ray_ops import occupancy_to_skip_grid
+        gs = 32
+        bf = make_bitfield(lambda c: (c[:, 2] > 0.2) & (c[:, 2] < 0.4), gs)
+        # matching skip grid from the same occupancy
+        g = np.arange(gs)
+        xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+        coords = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+        centers = 2.0 * (coords + 0.5) / gs - 1.0
+        occ_xyz = (centers[:, 2] > 0.2) & (centers[:, 2] < 0.4)
+        occ_m = np.zeros((1, gs ** 3), dtype=bool)
+        occ_m[0, np.asarray(morton3d(jnp.asarray(coords)))] = occ_xyz
+        skip = occupancy_to_skip_grid(jnp.asarray(occ_m), gs)
+
+        o = jnp.asarray([[0.0, 0.0, -2.0], [0.3, -0.2, -2.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        nears = jnp.asarray([1.0, 1.0])
+        fars = jnp.asarray([3.0, 3.0])
+        m_bf = march_rays(o, d, nears, fars, bf, 1.0, 1, gs,
+                          max_samples=16, max_steps=512)
+        m_sk = march_rays(o, d, nears, fars, bf, 1.0, 1, gs,
+                          max_samples=16, max_steps=512, skip_grid=skip)
+        # same number of occupied-region samples, all within the slab
+        np.testing.assert_array_equal(np.asarray(m_bf["count"]),
+                                      np.asarray(m_sk["count"]))
+        cnt = int(m_sk["count"][0])
+        pts = np.asarray(m_sk["xyzs"][0][:cnt])
+        assert (pts[:, 2] > 0.1).all() and (pts[:, 2] < 0.5).all()

@@ -17,7 +17,15 @@ RES = 16
 
 def test_simulate_mpc_loop(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
-    import simulate as sim_mod
+    # import OUR simulate.py by path (the reference-parity tests put
+    # /root/reference, which has its own simulate.py, on sys.path)
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "nsv_simulate",
+        os.path.join(os.path.dirname(__file__), "..", "simulate.py"))
+    sim_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sim_mod)
 
     cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0)
     net = NeRFNetwork(cfg)
