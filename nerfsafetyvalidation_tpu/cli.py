@@ -72,6 +72,10 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--camera", type=str, default="blender",
                         choices=["blender", "nerf", "canned"],
                         help="observation camera backend (nav/camera.py)")
+    parser.add_argument("--fast_render", action="store_true",
+                        help="occupancy-marched + cell-table rendering for "
+                             "the validation loop's observation renders "
+                             "(builds the density grid from the checkpoint)")
     parser.add_argument("--batched_rollouts", action="store_true",
                         help="run the vmapped TPU rollout engine instead of "
                              "the sequential loop")

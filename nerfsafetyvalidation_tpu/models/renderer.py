@@ -375,6 +375,61 @@ def run_grid(net, params, state: "RendererState", rays_o, rays_d,
     }
 
 
+_RUN_GRID_CACHE = {}
+
+
+def render_grid_staged(net, params, state: "RendererState", rays_o, rays_d,
+                       max_ray_batch: int = 4096, max_samples: int = 32,
+                       max_steps: int = 512, dt_gamma: float = 0.0,
+                       bg_color=None, **kwargs):
+    """Staged occupancy-marched rendering with the reference result-dict
+    contract (image/depth/aggregated_density full; rgbs/sigmas from the last
+    chunk — renderer.py:578-583). This is the fast-render path for the
+    validation loop's 800^2 observation renders. rays_o/d: [B, N, 3]."""
+    B, N = rays_o.shape[:2]
+    key = (id(net), max_ray_batch, max_samples, max_steps, float(dt_gamma))
+    if key not in _RUN_GRID_CACHE:
+        _RUN_GRID_CACHE[key] = jax.jit(
+            lambda p, s, o, d, bg: run_grid(
+                net, p, s, o, d, max_samples=max_samples,
+                max_steps=max_steps, dt_gamma=dt_gamma, bg_color=bg,
+                sample_budget=max_ray_batch * 12))
+    runf = _RUN_GRID_CACHE[key]
+    bg = jnp.asarray(1.0 if bg_color is None else bg_color, dtype=jnp.float32)
+
+    depth = np.empty((B, N), dtype=np.float32)
+    image = np.empty((B, N, 3), dtype=np.float32)
+    aggregated = np.empty((B, N), dtype=np.float32)
+    last = None
+    for b in range(B):
+        head = 0
+        while head < N:
+            tail = min(head + max_ray_batch, N)
+            ro = rays_o[b, head:tail]
+            rd = rays_d[b, head:tail]
+            pad = max_ray_batch - (tail - head)
+            if pad:
+                ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
+                rd = jnp.concatenate(
+                    [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                          (pad, 3))], axis=0)
+            res = runf(params, state, ro, rd, bg)
+            n = tail - head
+            depth[b, head:tail] = np.asarray(res["depth"])[:n]
+            image[b, head:tail] = np.asarray(res["image"])[:n]
+            aggregated[b, head:tail] = np.asarray(
+                res["aggregated_density"])[:n]
+            last = res
+            head += max_ray_batch
+    return {
+        "depth": jnp.asarray(depth),
+        "image": jnp.asarray(image),
+        "rgbs": last["rgbs"],
+        "sigmas": last["sigmas"],
+        "aggregated_density": jnp.asarray(aggregated),
+    }
+
+
 # --------------------------------------------------------------------------
 # occupancy grid maintenance (renderer.py:388-546)
 # --------------------------------------------------------------------------

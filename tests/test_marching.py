@@ -226,3 +226,26 @@ class TestSkipGrid:
         cnt = int(m_sk["count"][0])
         pts = np.asarray(m_sk["xyzs"][0][:cnt])
         assert (pts[:, 2] > 0.1).all() and (pts[:, 2] < 0.5).all()
+
+
+def test_render_grid_staged_contract():
+    cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                        grid_size=16)
+    net = NeRFNetwork(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    state = R.RendererState.create(cfg.cascade, 16)
+    state = R.update_extra_state(net, params, state, jax.random.PRNGKey(1),
+                                 grid_size=16)
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-0.2, 0.2, (1, 10, 3)), dtype=jnp.float32)
+    dn = rng.normal(size=(1, 10, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
+    res = R.render_grid_staged(net, params, state, o, jnp.asarray(dn),
+                               max_ray_batch=4, max_samples=8, max_steps=64)
+    assert res["image"].shape == (1, 10, 3)
+    assert res["depth"].shape == (1, 10)
+    assert res["aggregated_density"].shape == (1, 10)
+    # staged quirk preserved: per-sample extras from the last chunk
+    assert res["rgbs"].shape == (4, 8, 3)
+    assert res["sigmas"].shape == (4 * 8, 1)
+    assert np.isfinite(np.asarray(res["image"])).all()

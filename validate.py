@@ -210,12 +210,28 @@ def main():
         return net.density(params, x.reshape((-1, 3)) @ rot)["sigma"] \
             .reshape(x.shape[:-1])
 
-    def render_fn(rays_o, rays_d):
-        return R.render(net, params, rays_o, rays_d, staged=True,
-                        bg_color=1.0, perturb=False,
-                        num_steps=opt.num_steps,
-                        upsample_steps=opt.upsample_steps,
-                        max_ray_batch=opt.max_ray_batch)
+    if getattr(opt, "fast_render", False):
+        # TPU fast path: occupancy-marched rendering over a density grid
+        # built from the loaded checkpoint + cell-layout tables
+        print("[INFO] building density grid + cell tables for fast render")
+        state = R.RendererState.create(cfg.cascade, cfg.grid_size)
+        state = R.update_extra_state(net, params, state,
+                                     jax.random.PRNGKey(opt.seed),
+                                     grid_size=cfg.grid_size)
+        params = net.to_cell(params)
+
+        def render_fn(rays_o, rays_d):
+            return R.render_grid_staged(net, params, state, rays_o, rays_d,
+                                        max_ray_batch=opt.max_ray_batch,
+                                        max_steps=opt.max_steps,
+                                        dt_gamma=opt.dt_gamma, bg_color=1.0)
+    else:
+        def render_fn(rays_o, rays_d):
+            return R.render(net, params, rays_o, rays_d, staged=True,
+                            bg_color=1.0, perturb=False,
+                            num_steps=opt.num_steps,
+                            upsample_steps=opt.upsample_steps,
+                            max_ray_batch=opt.max_ray_batch)
 
     def get_rays_fn(pose):
         return get_rays(pose, dataset.intrinsics, dataset.H, dataset.W)
