@@ -9,7 +9,7 @@ import numpy as np
 
 from nerfsafetyvalidation_tpu.cli import build_parser, apply_O_flag
 from nerfsafetyvalidation_tpu.config import network_config_from_opt
-from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+from nerfsafetyvalidation_tpu.models import make_network
 from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
 from nerfsafetyvalidation_tpu.train.trainer import Trainer
 from nerfsafetyvalidation_tpu.train.metrics import PSNRMeter
@@ -22,7 +22,7 @@ def main():
 
     seed_everything(opt.seed)
     cfg = network_config_from_opt(opt)
-    net = NeRFNetwork(cfg)
+    net = make_network(cfg, opt)
 
     if opt.test:
         trainer = Trainer("ngp", opt, net, workspace=opt.workspace,

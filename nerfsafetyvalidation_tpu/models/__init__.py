@@ -3,4 +3,15 @@
 from .network import NeRFNetwork
 from .renderer import render, run, RendererState
 
-__all__ = ["NeRFNetwork", "render", "run", "RendererState"]
+__all__ = ["NeRFNetwork", "render", "run", "RendererState",
+           "make_network"]
+
+
+def make_network(cfg, opt=None):
+    """Backbone dispatch for the entry points: --ff/--tcnn select the
+    fused FFMLP topology (reference validate.py:120-129 import switch)."""
+    if opt is not None and (getattr(opt, "ff", False)
+                            or getattr(opt, "tcnn", False)):
+        from .network_ff import NeRFNetworkFF
+        return NeRFNetworkFF(cfg)
+    return NeRFNetwork(cfg)

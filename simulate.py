@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from nerfsafetyvalidation_tpu.cli import build_parser, apply_O_flag
 from nerfsafetyvalidation_tpu.config import network_config_from_opt, EnvConfig
-from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+from nerfsafetyvalidation_tpu.models import make_network
 from nerfsafetyvalidation_tpu.models import renderer as R
 from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
 from nerfsafetyvalidation_tpu.data.rays import get_rays
@@ -98,7 +98,7 @@ def main():
 
     seed_everything(opt.seed)
     cfg = network_config_from_opt(opt)
-    net = NeRFNetwork(cfg)
+    net = make_network(cfg, opt)
     trainer = Trainer("ngp", opt, net, workspace=opt.workspace,
                       use_checkpoint=opt.ckpt, fp16=opt.fp16)
     params = trainer.params

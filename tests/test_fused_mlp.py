@@ -66,3 +66,31 @@ def test_network_fused_flag_matches_plain():
     s1, c1 = net_f.apply(params, x, d)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=2e-2)
     np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=2e-2)
+
+
+def test_network_ff_topology():
+    """FF variant matches the reference topology: extra hidden matmul per
+    net + 32-wide padded color input (network_ff.py:30-48, :67-68)."""
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models.network_ff import NeRFNetworkFF
+    cfg = NetworkConfig(num_levels=4, desired_resolution=64, bound=1.0)
+    net = NeRFNetworkFF(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    assert [w.shape for w in params["sigma_net"]] == \
+        [(8, 64), (64, 64), (64, 16)]
+    assert [w.shape for w in params["color_net"]] == \
+        [(32, 64), (64, 64), (64, 64), (64, 3)]
+    x = jnp.asarray(np.random.default_rng(0).uniform(-0.9, 0.9, (8, 3)),
+                    dtype=jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 8)
+    sigma, rgb = net.apply(params, x, d)
+    assert sigma.shape == (8,) and rgb.shape == (8, 3)
+    assert np.isfinite(np.asarray(sigma)).all()
+
+
+def test_network_ff_rejects_bg():
+    import pytest as _pytest
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models.network_ff import NeRFNetworkFF
+    with _pytest.raises(AssertionError):
+        NeRFNetworkFF(NetworkConfig(bg_radius=1.0))

@@ -174,3 +174,28 @@ def test_grid_ray_training(tmp_path):
     assert np.isfinite(loss)
     # density grid was refreshed during the epoch
     assert int(trainer.renderer_state.iter_density) >= 1
+
+
+def test_error_map_training(tiny_net, tmp_path):
+    """error-map importance sampling + EMA update (utils.py:456-478)."""
+    from nerfsafetyvalidation_tpu.data.rays import get_rays
+    trainer = Trainer("t", make_opt(error_map=True), tiny_net,
+                      workspace=str(tmp_path / "wse"),
+                      use_checkpoint="scratch", mute=True)
+    data = FakeData()
+    trainer.error_map = np.ones((data.n, 128 * 128), dtype=np.float32)
+    emap = jnp.asarray(trainer.error_map[:1])
+    rays = get_rays(jnp.asarray(data.poses[:1]), data.intrinsics, 16, 16,
+                    N=32, error_map=emap, key=jax.random.PRNGKey(0))
+    assert rays["inds_coarse"].shape == (1, 32)
+    batch = {"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
+             "images": jnp.full((1, 32, 4), 0.5).at[..., 3].set(1.0),
+             "H": 16, "W": 16, "index": [0],
+             "inds_coarse": rays["inds_coarse"]}
+    before = trainer.error_map.copy()
+    trainer.global_step += 1
+    trainer.train_step(batch)
+    # EMA wrote the per-ray errors back into the sampled coarse cells
+    assert not np.allclose(trainer.error_map, before)
+    changed = (trainer.error_map != before).sum()
+    assert changed <= 32 * 2  # only sampled cells updated
