@@ -92,7 +92,7 @@ def main():
     rays_d = rays["rays_d"].reshape(-1, 3)
     n_rays = rays_o.shape[0]
 
-    TILE = 65536
+    TILE = 131072
     n_tiles = (n_rays + TILE - 1) // TILE
     pad = n_tiles * TILE - n_rays
     if pad:
