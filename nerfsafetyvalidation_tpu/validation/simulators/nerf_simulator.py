@@ -32,7 +32,8 @@ class NerfSimulator(Env):
     def __init__(self, start_state, end_state, agent_cfg, planner_cfg,
                  camera_cfg, filter_cfg, get_rays_fn, render_fn, blender_cfg,
                  density_fn, uq_method, net, params, seed, camera=None,
-                 sdf_path="validation/utils/sdf.npy", sdf=None):
+                 sdf_path="validation/utils/sdf.npy", sdf=None,
+                 uq_kwargs=None):
         super().__init__()
         self.action_space = disturbance_action_space()
         self.observation_space = rgb_observation_space(
@@ -47,6 +48,7 @@ class NerfSimulator(Env):
         self.get_rays_fn = get_rays_fn
         self.render_fn = render_fn
         self.uq_method = uq_method
+        self.uq_kwargs = uq_kwargs or {}
         self.net = net
         self.params = params
         self.camera = camera
@@ -117,7 +119,7 @@ class NerfSimulator(Env):
             rendered_output=self.filter.render_for_uncertainty(
                 jnp.asarray(true_pose)),
             net=self.net, params=self.params, lr=self.filter.lrate,
-            H=self.res_y, W=self.res_x)
+            H=self.res_y, W=self.res_x, **self.uq_kwargs)
 
         os.makedirs("./sim_img_cache", exist_ok=True)
         try:

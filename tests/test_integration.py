@@ -126,3 +126,38 @@ def test_monte_carlo_one_sim(stack, tmp_path, monkeypatch):
     # schema: sim, step, 12 noise, sdf, 3 pos, loglik, cumloglik, reward,
     # sigma, isCollision, everCollided (MonteCarlo.py:95-110)
     assert len(rows[0]) == 2 + 12 + 1 + 3 + 2 + 2 + 2
+
+
+def test_nerf_simulator_laplace_uq(stack, tmp_path, monkeypatch):
+    """Config-5 core: the validation loop with Bayesian-Laplace online UQ."""
+    monkeypatch.chdir(tmp_path)
+    sim = make_simulator(stack, tmp_path, steps=2)
+    sim.uq_method = "Bayesian Laplace Approximation"
+    sim.uq_kwargs = {"laplace_fit_steps": 3, "laplace_max_points": 32}
+    sim.reset()
+    collided, collisionVal, pos, sigma, trace = sim.step(jnp.full(12, 0.001))
+    assert np.isfinite(sigma) and np.isfinite(trace)
+    r = sim.reward(likelihood=10.0, sigma_d_opt=sigma, trace=trace)
+    assert np.isfinite(r)
+
+
+def test_cem_one_population(stack, tmp_path, monkeypatch):
+    """Sequential CEM over the NerfSimulator (validate.py CEM branch)."""
+    monkeypatch.chdir(tmp_path)
+    from nerfsafetyvalidation_tpu.validation.distributions import (
+        SeedableMultivariateNormal)
+    from nerfsafetyvalidation_tpu.validation.stresstests import (
+        CrossEntropyMethod)
+    sim = make_simulator(stack, tmp_path, steps=2)
+    means = [jnp.zeros(12)] * 2
+    covs = [jnp.eye(12) * 1e-4] * 2
+    q = SeedableMultivariateNormal(means, covs, noise_seed=0)
+    p = SeedableMultivariateNormal(means, covs, noise_seed=0)
+    cem = CrossEntropyMethod(sim, q, p, m=2, m_elite=1, kmax=1,
+                             noise_seed=0, blend_file=None, workspace="itest")
+    means_out, covs_out, q_out, bm, bc, bv = cem.optimize()
+    assert len(means_out) == 2
+    assert np.isfinite(bv)
+    import os as _os
+    csvs = [f for f in _os.listdir("results") if "CEM" in f]
+    assert csvs, "CEM must write its CSV log"
