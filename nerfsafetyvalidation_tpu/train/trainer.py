@@ -178,12 +178,15 @@ class Trainer:
             def loss_fn(p):
                 if grid_ray and renderer_state is not None:
                     # occupancy-marched training render (the reference's
-                    # cuda_ray train path, renderer.py:286-327)
+                    # cuda_ray train path, renderer.py:286-327); budgeted
+                    # compaction keeps the fwd/bwd hash gathers proportional
+                    # to REAL samples, not K slots
                     out = R.run_grid(net, p, renderer_state, flat_o, flat_d,
                                      max_samples=grid_max_samples,
                                      max_steps=grid_max_steps,
                                      dt_gamma=dt_gamma, bg_color=flat_bg,
-                                     perturb_key=k_render)
+                                     perturb_key=k_render,
+                                     sample_budget=flat_o.shape[0] * 16)
                 else:
                     out = R.run(net, p, flat_o, flat_d, num_steps=num_steps,
                                 upsample_steps=upsample_steps,
@@ -205,6 +208,16 @@ class Trainer:
         """One optimization step on a collated ray batch."""
         self.key, sub = jax.random.split(self.key)
         rays_o, rays_d = data["rays_o"], data["rays_d"]
+        if "images" not in data:
+            # CLIP-guided branch for GT-free random poses (utils.py:409-424).
+            # Cross-framework gradient flow (torch CLIP -> jax params) is not
+            # possible; a jax-differentiable guidance fn must be supplied.
+            if getattr(self, "clip_loss_fn", None) is None:
+                raise NotImplementedError(
+                    "rand_pose training needs a jax-differentiable "
+                    "clip_loss_fn on the Trainer (the torch CLIPLoss in "
+                    "train/clip_loss.py is evaluation-only)")
+            return self._clip_train_step(data, sub)
         images = data["images"]
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
@@ -226,6 +239,27 @@ class Trainer:
             np.put_along_axis(emap, inds, ema_error, axis=1)
             self.error_map[index] = emap
         return pred, loss
+
+    def _clip_train_step(self, data, key):
+        """Render the full low-res frame and optimize the guidance loss
+        (utils.py:410-424 semantics with a pluggable jax loss)."""
+        import optax as _optax
+        H, W = data["H"], data["W"]
+
+        def loss_fn(p):
+            out = R.run(self.net, p, data["rays_o"].reshape(-1, 3),
+                        data["rays_d"].reshape(-1, 3),
+                        num_steps=getattr(self.opt, "num_steps", 128),
+                        upsample_steps=0, bg_color=1.0, perturb=True,
+                        key=key, training=True)
+            img = out["image"].reshape(1, H, W, 3).transpose(0, 3, 1, 2)
+            return self.clip_loss_fn(img)
+
+        loss, grads = jax.value_and_grad(loss_fn)(self.params)
+        updates, self.opt_state = self.tx.update(grads, self.opt_state,
+                                                 self.params)
+        self.params = _optax.apply_updates(self.params, updates)
+        return None, loss
 
     # ---------------------------------------------------------------- epochs
     def train_one_epoch(self, loader):
