@@ -106,7 +106,8 @@ def main():
             o, d = args
             out = R.run_grid(net, params, state, o, d,
                              max_samples=MAX_SAMPLES, max_steps=512,
-                             sample_budget=TILE * 12)
+                             sample_budget=TILE * 12,
+                             samples_per_hit=2)
             return out["image"]
         imgs = jax.lax.map(tile, (ro.reshape(n_tiles, TILE, 3),
                                   rd.reshape(n_tiles, TILE, 3)))

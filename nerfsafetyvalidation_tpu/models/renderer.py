@@ -305,7 +305,8 @@ def render_tiles(net, params, rays_o, rays_d, tile: int = 8192,
 def run_grid(net, params, state: "RendererState", rays_o, rays_d,
              max_samples: int = 64, max_steps: int = 1024,
              dt_gamma: float = 0.0, bg_color=None, perturb_key=None,
-             density_scale: float = None, sample_budget: int = None):
+             density_scale: float = None, sample_budget: int = None,
+             samples_per_hit: int = 1):
     """Occupancy-marched render (the reference's run_cuda, renderer.py:261-386):
     march the bitfield for up to `max_samples` occupied samples per ray, one
     dense network query, masked composite. Static shapes throughout; the
@@ -324,7 +325,8 @@ def run_grid(net, params, state: "RendererState", rays_o, rays_d,
                    cfg.bound, cfg.cascade, cfg.grid_size,
                    max_samples=max_samples, max_steps=max_steps,
                    dt_gamma=dt_gamma, perturb=perturb_key,
-                   skip_grid=state.skip_grid)
+                   skip_grid=state.skip_grid,
+                   samples_per_hit=samples_per_hit)
 
     K = max_samples
     if sample_budget is not None:

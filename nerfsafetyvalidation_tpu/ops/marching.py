@@ -49,7 +49,7 @@ def _mip_from_dt(dt, grid_size, cascade):
 def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
                cascade: int, grid_size: int = 128, max_samples: int = 64,
                max_steps: int = 1024, dt_gamma: float = 0.0, perturb=None,
-               skip_grid=None):
+               skip_grid=None, samples_per_hit: int = 1):
     """Generate up to `max_samples` occupied-space samples per ray.
 
     Returns dict: xyzs [N, K, 3], deltas [N, K] (dt), rs [N, K] (depth step,
@@ -105,6 +105,23 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
         rs = jnp.where(onehot, (new_t - last_t)[:, None], rs)
         last_t = jnp.where(emit, new_t, last_t)
         count = count + emit.astype(jnp.int32)
+
+        if samples_per_hit == 2:
+            # paired emission: cells span ~2 dt steps, so emit the next dt
+            # sample in the same iteration — halves the gather-bound
+            # iteration count through occupied regions (the second sample
+            # skips the occupancy re-check; a miss only wastes a slot since
+            # the network, not the grid, defines the field)
+            emit2 = emit & (new_t < fars) & (count < K)
+            dt2 = jnp.clip(new_t * dt_gamma, dt_min, dt_max)
+            onehot2 = (slot_iota[None, :] == count[:, None]) & emit2[:, None]
+            new_t2 = new_t + dt2
+            ts = jnp.where(onehot2, new_t[:, None], ts)
+            dts = jnp.where(onehot2, dt2[:, None], dts)
+            rs = jnp.where(onehot2, dt2[:, None], rs)
+            last_t = jnp.where(emit2, new_t2, last_t)
+            count = count + emit2.astype(jnp.int32)
+            new_t = jnp.where(emit2, new_t2, new_t)
 
         # empty cell: jump to the next voxel boundary (raymarching.cu:392-403)
         cell = (nxyz.astype(jnp.float32) + 0.5

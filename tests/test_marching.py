@@ -249,3 +249,21 @@ def test_render_grid_staged_contract():
     assert res["rgbs"].shape == (4, 8, 3)
     assert res["sigmas"].shape == (4 * 8, 1)
     assert np.isfinite(np.asarray(res["image"])).all()
+
+
+def test_samples_per_hit_two_matches_counts():
+    gs = 32
+    bf = make_bitfield(lambda c: (c[:, 2] > 0.0) & (c[:, 2] < 0.4), gs)
+    o = jnp.asarray([[0.0, 0.0, -2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    nears, fars = jnp.asarray([1.0]), jnp.asarray([3.0])
+    m1 = march_rays(o, d, nears, fars, bf, 1.0, 1, gs, max_samples=32,
+                    max_steps=512, samples_per_hit=1)
+    m2 = march_rays(o, d, nears, fars, bf, 1.0, 1, gs, max_samples=32,
+                    max_steps=512, samples_per_hit=2)
+    # paired emission covers the same region with a similar sample count
+    c1, c2 = int(m1["count"][0]), int(m2["count"][0])
+    assert abs(c1 - c2) <= max(2, c1 // 4)
+    ts = np.asarray(m2["ts"][0][:c2])
+    assert (np.diff(ts) > 0).all()
+    assert (np.asarray(m2["deltas"][0][:c2]) > 0).all()
