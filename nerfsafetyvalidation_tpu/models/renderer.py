@@ -207,9 +207,12 @@ _RUN_CACHE = {}
 
 def _get_run(net):
     cache_key = id(net)
-    if cache_key not in _RUN_CACHE:
-        _RUN_CACHE[cache_key] = _run_jitted(net)
-    return _RUN_CACHE[cache_key]
+    hit = _RUN_CACHE.get(cache_key)
+    # keep a strong ref to net in the entry so a GC'd net can't hand its
+    # id to a different instance and serve a stale closure
+    if hit is None or hit[0] is not net:
+        _RUN_CACHE[cache_key] = (net, _run_jitted(net))
+    return _RUN_CACHE[cache_key][1]
 
 
 def render(net, params, rays_o, rays_d, staged: bool = False,
@@ -390,13 +393,14 @@ def render_grid_staged(net, params, state: "RendererState", rays_o, rays_d,
     validation loop's 800^2 observation renders. rays_o/d: [B, N, 3]."""
     B, N = rays_o.shape[:2]
     key = (id(net), max_ray_batch, max_samples, max_steps, float(dt_gamma))
-    if key not in _RUN_GRID_CACHE:
-        _RUN_GRID_CACHE[key] = jax.jit(
+    hit = _RUN_GRID_CACHE.get(key)
+    if hit is None or hit[0] is not net:
+        _RUN_GRID_CACHE[key] = (net, jax.jit(
             lambda p, s, o, d, bg: run_grid(
                 net, p, s, o, d, max_samples=max_samples,
                 max_steps=max_steps, dt_gamma=dt_gamma, bg_color=bg,
-                sample_budget=max_ray_batch * 12))
-    runf = _RUN_GRID_CACHE[key]
+                sample_budget=max_ray_batch * 12)))
+    runf = _RUN_GRID_CACHE[key][1]
     bg = jnp.asarray(1.0 if bg_color is None else bg_color, dtype=jnp.float32)
 
     depth = np.empty((B, N), dtype=np.float32)
