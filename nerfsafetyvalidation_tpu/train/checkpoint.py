@@ -69,8 +69,12 @@ class CheckpointManager:
                 old = self.saved.pop(0)
                 if os.path.exists(old):
                     os.remove(old)
-        with open(path, "wb") as f:
+        # atomic write: a kill mid-save must not leave a truncated file that
+        # poisons the next 'latest' resume
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(state, f)
+        os.replace(tmp, path)
         return path
 
     def resolve(self, which: str = "latest"):
@@ -83,7 +87,15 @@ class CheckpointManager:
         if which in ("latest", "latest_model"):
             ckpts = sorted(glob.glob(
                 os.path.join(self.ckpt_path, f"{self.name}_ep*.ckpt")))
-            return ckpts[-1] if ckpts else None
+            # skip unreadable (e.g. truncated) files, newest first
+            for path in reversed(ckpts):
+                try:
+                    with open(path, "rb") as f:
+                        pickle.load(f)
+                    return path
+                except Exception:
+                    print(f"[WARN] skipping unreadable checkpoint {path}")
+            return None
         return which if os.path.exists(which) else None
 
     @staticmethod

@@ -199,3 +199,17 @@ def test_error_map_training(tiny_net, tmp_path):
     assert not np.allclose(trainer.error_map, before)
     changed = (trainer.error_map != before).sum()
     assert changed <= 32 * 2  # only sampled cells updated
+
+
+def test_truncated_checkpoint_fallback(tmp_path):
+    """A kill mid-save must not poison 'latest' resume."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), name="x", max_keep=3)
+    params = {"w": jnp.ones((2, 2))}
+    good = mgr.save(1, 10, params)
+    bad = str(tmp_path / "ck" / "x_ep0002.ckpt")
+    with open(bad, "wb") as f:
+        f.write(b"\x80\x04truncated")  # partial pickle
+    resolved = mgr.resolve("latest")
+    assert resolved == good
+    state = CheckpointManager.load(resolved)
+    assert state["epoch"] == 1
