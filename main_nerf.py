@@ -7,7 +7,8 @@ dataset loaders and Trainer; trains to --iters or renders the test split.
 
 import numpy as np
 
-from nerfsafetyvalidation_tpu.cli import build_parser, apply_O_flag
+from nerfsafetyvalidation_tpu.cli import (build_parser, apply_O_flag,
+                                           enable_compile_cache)
 from nerfsafetyvalidation_tpu.config import network_config_from_opt
 from nerfsafetyvalidation_tpu.models import make_network
 from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
@@ -19,6 +20,7 @@ from nerfsafetyvalidation_tpu.utils.seeding import seed_everything
 def main():
     opt = build_parser("train").parse_args()
     opt = apply_O_flag(opt, "train")
+    enable_compile_cache()
 
     seed_everything(opt.seed)
     cfg = network_config_from_opt(opt)

@@ -96,3 +96,19 @@ def apply_O_flag(opt, entry: str):
             opt.cuda_ray = False
             opt.preload = False
     return opt
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache next to the repo: first compiles of the
+    renderer/planner programs take minutes through the remote-compile
+    tunnel; cached reruns start in seconds."""
+    import os
+    import jax
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

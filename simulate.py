@@ -14,7 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nerfsafetyvalidation_tpu.cli import build_parser, apply_O_flag
+from nerfsafetyvalidation_tpu.cli import (build_parser, apply_O_flag,
+                                           enable_compile_cache)
 from nerfsafetyvalidation_tpu.config import network_config_from_opt, EnvConfig
 from nerfsafetyvalidation_tpu.models import make_network
 from nerfsafetyvalidation_tpu.models import renderer as R
@@ -94,6 +95,7 @@ def simulate(planner_cfg, agent_cfg, camera_cfg, blender_cfg, filter_cfg,
 def main():
     opt = build_parser("simulate").parse_args()
     opt = apply_O_flag(opt, "simulate")
+    enable_compile_cache()
     env = EnvConfig.load("envConfig.json")
 
     seed_everything(opt.seed)

@@ -10,7 +10,8 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-from nerfsafetyvalidation_tpu.cli import build_parser, apply_O_flag
+from nerfsafetyvalidation_tpu.cli import (build_parser, apply_O_flag,
+                                           enable_compile_cache)
 from nerfsafetyvalidation_tpu.config import network_config_from_opt, EnvConfig
 from nerfsafetyvalidation_tpu.models import make_network
 from nerfsafetyvalidation_tpu.models import renderer as R
@@ -25,6 +26,7 @@ from nerfsafetyvalidation_tpu.uq.orchestrator import uncertainty
 def main():
     opt = build_parser("uncertain").parse_args()
     opt = apply_O_flag(opt, "uncertain")
+    enable_compile_cache()
     env = EnvConfig.load("envConfig.json")
     print(f"Reading environment parameters from envConfig.json")
 

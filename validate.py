@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nerfsafetyvalidation_tpu.cli import build_parser, apply_O_flag
+from nerfsafetyvalidation_tpu.cli import (build_parser, apply_O_flag,
+                                           enable_compile_cache)
 from nerfsafetyvalidation_tpu.config import network_config_from_opt, EnvConfig
 from nerfsafetyvalidation_tpu.models import make_network
 from nerfsafetyvalidation_tpu.models import renderer as R
@@ -129,6 +130,7 @@ def validate(simulator, stresstest, noise_mean, noise_std, n_simulations,
 def main():
     opt = build_parser("validate").parse_args()
     opt = apply_O_flag(opt, "validate")
+    enable_compile_cache()
 
     env = EnvConfig.load("envConfig.json")
     planner_cfg_raw = env.planner_cfg
