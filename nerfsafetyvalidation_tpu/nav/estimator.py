@@ -61,7 +61,7 @@ def find_POI(img_rgb, render=False):
 
 class Estimator:
     def __init__(self, filter_cfg, agent, start_state, filter=True,
-                 get_rays_fn=None, render_fn=None):
+                 get_rays_fn=None, render_fn=None, render_batch_fn=None):
         self.batch_size = filter_cfg["batch_size"]
         self.kernel_size = filter_cfg["kernel_size"]
         self.dil_iter = filter_cfg["dil_iter"]
@@ -79,6 +79,10 @@ class Estimator:
 
         self.get_rays = get_rays_fn
         self.render_fn = render_fn
+        # measurement_fn runs INSIDE jit (the N_iter Adam fori_loop), so it
+        # needs a traceable renderer; full-frame render_from_pose can stay
+        # host-staged. Defaults to render_fn for API compatibility.
+        self.render_batch_fn = render_batch_fn or render_fn
 
         self.losses = None
         self.covariance = None
@@ -109,8 +113,8 @@ class Estimator:
         rays = self.get_rays(new_pose.reshape((1, 4, 4)))
         rays_o = rays["rays_o"].reshape((H, W, -1))[batch[:, 0], batch[:, 1]]
         rays_d = rays["rays_d"].reshape((H, W, -1))[batch[:, 0], batch[:, 1]]
-        output = self.render_fn(rays_o.reshape((1, -1, 3)),
-                                rays_d.reshape((1, -1, 3)))
+        output = self.render_batch_fn(rays_o.reshape((1, -1, 3)),
+                                      rays_d.reshape((1, -1, 3)))
         rgb = output["image"].reshape((-1, 3))
         tgt = target[batch[:, 0], batch[:, 1]]
         loss_rgb = jnp.mean((rgb - tgt) ** 2)

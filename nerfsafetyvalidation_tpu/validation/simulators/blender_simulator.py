@@ -24,7 +24,8 @@ class BlenderSimulator(Env):
     def __init__(self, start_state, end_state, agent_cfg, planner_cfg,
                  camera_cfg, filter_cfg, get_rays_fn, render_fn, blender_cfg,
                  density_fn, seed, camera=None,
-                 sdf_path="validation/utils/sdf.npy", sdf=None):
+                 sdf_path="validation/utils/sdf.npy", sdf=None,
+                 render_batch_fn=None):
         super().__init__()
         self.action_space = disturbance_action_space()
         self.observation_space = rgb_observation_space(
@@ -38,6 +39,7 @@ class BlenderSimulator(Env):
         self.blender_cfg = blender_cfg
         self.get_rays_fn = get_rays_fn
         self.render_fn = render_fn
+        self.render_batch_fn = render_batch_fn
         self.camera = camera
 
         agent_cfg = dict(agent_cfg)
@@ -124,7 +126,8 @@ class BlenderSimulator(Env):
         self.filter = Estimator(self.filter_cfg, self.dynamics,
                                 self.true_start_state,
                                 get_rays_fn=self.get_rays_fn,
-                                render_fn=self.render_fn)
+                                render_fn=self.render_fn,
+                                render_batch_fn=self.render_batch_fn)
         traj = Planner(self.start_state, self.end_state, self.planner_cfg,
                        self.density_fn)
         traj.basefolder = self.basefolder

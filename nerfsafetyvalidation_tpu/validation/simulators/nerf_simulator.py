@@ -33,7 +33,7 @@ class NerfSimulator(Env):
                  camera_cfg, filter_cfg, get_rays_fn, render_fn, blender_cfg,
                  density_fn, uq_method, net, params, seed, camera=None,
                  sdf_path="validation/utils/sdf.npy", sdf=None,
-                 uq_kwargs=None):
+                 uq_kwargs=None, render_batch_fn=None):
         super().__init__()
         self.action_space = disturbance_action_space()
         self.observation_space = rgb_observation_space(
@@ -47,6 +47,7 @@ class NerfSimulator(Env):
         self.blender_cfg = blender_cfg
         self.get_rays_fn = get_rays_fn
         self.render_fn = render_fn
+        self.render_batch_fn = render_batch_fn
         self.uq_method = uq_method
         self.uq_kwargs = uq_kwargs or {}
         self.net = net
@@ -188,7 +189,8 @@ class NerfSimulator(Env):
         self.filter = Estimator(self.filter_cfg, self.dynamics,
                                 self.true_start_state,
                                 get_rays_fn=self.get_rays_fn,
-                                render_fn=self.render_fn)
+                                render_fn=self.render_fn,
+                                render_batch_fn=self.render_batch_fn)
         traj = Planner(self.start_state, self.end_state, self.planner_cfg,
                        self.density_fn)
         traj.basefolder = self.basefolder

@@ -62,7 +62,8 @@ def simulate(planner_cfg, agent_cfg, camera_cfg, blender_cfg, filter_cfg,
     agent_cfg["x0"] = start12
     agent = Agent(agent_cfg, camera_cfg, blender_cfg, camera=camera)
     filter = Estimator(filter_cfg, agent, start12, get_rays_fn=get_rays_fn,
-                       render_fn=render_fn)
+                       render_fn=render_fn,
+                       render_batch_fn=extra_cfg.get("render_batch_fn"))
     filter.basefolder = basefolder
 
     true_states = np.asarray(start12)
@@ -137,7 +138,11 @@ def main():
     filter_cfg["sig0"] = jnp.eye(12)
     filter_cfg["Q"] = jnp.eye(12)
     extra_cfg = {"mpc_noise_std": env.mpc_cfg["mpc_noise_std"],
-                 "mpc_noise_mean": env.mpc_cfg["mpc_noise_mean"]}
+                 "mpc_noise_mean": env.mpc_cfg["mpc_noise_mean"],
+                 "render_batch_fn": lambda ro, rd: R.render(
+                     net, params, ro, rd, staged=False, bg_color=1.0,
+                     perturb=False, num_steps=opt.num_steps,
+                     upsample_steps=opt.upsample_steps)}
 
     rot = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
     density_fn = lambda x: net.density(params, x.reshape((-1, 3)) @ rot)[

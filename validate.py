@@ -220,10 +220,14 @@ def main():
         state = R.update_extra_state(net, params, state,
                                      jax.random.PRNGKey(opt.seed),
                                      grid_size=cfg.grid_size)
-        params = net.to_cell(params)
+        # cell table is render-only: the planner/estimator jits close over
+        # density_fn's params as compile-time constants, and the ~8x larger
+        # cell table blows the remote-compile request size
+        render_params = net.to_cell(params)
 
         def render_fn(rays_o, rays_d):
-            return R.render_grid_staged(net, params, state, rays_o, rays_d,
+            return R.render_grid_staged(net, render_params, state, rays_o,
+                                        rays_d,
                                         max_ray_batch=opt.max_ray_batch,
                                         max_steps=opt.max_steps,
                                         dt_gamma=opt.dt_gamma, bg_color=1.0)
@@ -234,6 +238,15 @@ def main():
                             num_steps=opt.num_steps,
                             upsample_steps=opt.upsample_steps,
                             max_ray_batch=opt.max_ray_batch)
+
+
+    # traceable single-chunk renderer for the estimator's jitted
+    # measurement loop (the staged render_fn has host loops)
+    def render_batch_fn(rays_o, rays_d):
+        return R.render(net, params, rays_o, rays_d, staged=False,
+                        bg_color=1.0, perturb=False,
+                        num_steps=opt.num_steps,
+                        upsample_steps=opt.upsample_steps)
 
     def get_rays_fn(pose):
         return get_rays(pose, dataset.intrinsics, dataset.H, dataset.W)
@@ -259,12 +272,14 @@ def main():
                                  planner_cfg, camera_cfg, filter_cfg,
                                  get_rays_fn, render_fn, blender_cfg,
                                  density_fn, env.uq_method, net, params,
-                                 opt.seed, camera=camera)
+                                 opt.seed, camera=camera,
+                                 render_batch_fn=render_batch_fn)
         elif env.simulator == "BlenderSimulator":
             return BlenderSimulator(start_state, end_state, agent_cfg,
                                     planner_cfg, camera_cfg, filter_cfg,
                                     get_rays_fn, render_fn, blender_cfg,
-                                    density_fn, opt.seed, camera=camera)
+                                    density_fn, opt.seed, camera=camera,
+                                    render_batch_fn=render_batch_fn)
         print(f"Unrecognized simulator {env.simulator}")
         raise SystemExit(1)
 
