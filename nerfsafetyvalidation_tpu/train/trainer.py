@@ -152,8 +152,10 @@ class Trainer:
         grid_max_steps = getattr(opt, "max_steps", 1024)
         dt_gamma = getattr(opt, "dt_gamma", 0.0)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, key, rays_o, rays_d, images,
+        ema_decay = self.ema_decay
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, ema_params, key, rays_o, rays_d, images,
                  renderer_state=None):
             """rays: [B, N, 3]; images: [B, N, C] (C = 3 or 4)."""
             k_bg, k_render = jax.random.split(key)
@@ -200,7 +202,13 @@ class Trainer:
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, pred, per_ray
+            if ema_params is not None:
+                # per-STEP EMA like the reference (ema.update() inside the
+                # batch loop, utils.py:815), fused into the jitted step
+                ema_params = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema_params, params)
+            return params, opt_state, ema_params, loss, pred, per_ray
 
         return step
 
@@ -225,9 +233,10 @@ class Trainer:
                 {"o": rays_o, "d": rays_d, "im": images}, self.mesh,
                 batch_axis=1)
             rays_o, rays_d, images = sharded["o"], sharded["d"], sharded["im"]
-        self.params, self.opt_state, loss, pred, per_ray = self._train_step(
-            self.params, self.opt_state, sub, rays_o, rays_d, images,
-            self.renderer_state)
+        (self.params, self.opt_state, self.ema_params, loss, pred,
+         per_ray) = self._train_step(
+            self.params, self.opt_state, self.ema_params, sub, rays_o,
+            rays_d, images, self.renderer_state)
 
         # error-map EMA update (utils.py:456-478), host side
         if self.error_map is not None and "index" in data:
@@ -281,11 +290,6 @@ class Trainer:
             total_loss += loss_val
             if self.writer is not None:
                 self.writer.add_scalar("train/loss", loss_val, self.global_step)
-
-        if self.ema_params is not None:
-            d = self.ema_decay
-            self.ema_params = jax.tree_util.tree_map(
-                lambda e, p: d * e + (1.0 - d) * p, self.ema_params, self.params)
 
         avg = total_loss / max(self.local_step, 1)
         self.stats["loss"].append(avg)

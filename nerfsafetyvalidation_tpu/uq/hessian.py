@@ -2,8 +2,8 @@
 
 Parity target: reference uncertainty/quantification/hessian/
 {HessianApproximator,methods}.py — five methods: finite_difference (:7),
-'bfgs' grad-of-grad (:45; in JAX that IS jax.hessian — autodiff through the
-gradient, same quantity without the optimizer-step side effects),
+lbfgs (:45; optax.lbfgs iterate + grad-of-grad, plus an 'autodiff' extra
+that is the pure jax.hessian of the same quantity),
 regression_gradient (:79), regression_gradient_regularized (:118), and
 levenberg_marquardt (:158) whose returned approximation is the gradient
 outer product g g^T at the LM iterate — the one the production
@@ -32,6 +32,37 @@ def autodiff_hessian(x, func):
     """Exact Hessian via grad-of-grad (the quantity methods.py:45-77 computes
     by re-backpropagating each gradient entry)."""
     return jax.hessian(func)(jnp.asarray(x))
+
+
+def lbfgs(x, func, max_iter=20, lr=1.0):
+    """LBFGS Hessian strategy (methods.py:45-77): run one torch
+    LBFGS.step(closure) — up to 20 inner iterations at lr=1 — to move x to a
+    quasi-Newton iterate, then form the Hessian at that iterate by
+    re-backpropagating each gradient entry. The optimizer here is
+    optax.lbfgs (same Nocedal-Wright two-loop recursion); the second stage is
+    jax.hessian (identical quantity to the reference's per-row double
+    backprop, without the in-place grad buffer plumbing)."""
+    import optax
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    opt = optax.lbfgs(learning_rate=lr)
+    state = opt.init(x)
+    vg = jax.jit(jax.value_and_grad(func))
+
+    for _ in range(max_iter):
+        value, grad = vg(x)
+        if not bool(jnp.isfinite(grad).all()):
+            break
+        updates, state = opt.update(
+            grad, state, x, value=value, grad=grad, value_fn=func)
+        x_new = optax.apply_updates(x, updates)
+        if not bool(jnp.isfinite(x_new).all()):
+            break
+        if bool(jnp.allclose(x_new, x, atol=1e-10)):
+            x = x_new
+            break
+        x = x_new
+    return jax.hessian(func)(x)
 
 
 def regression_gradient(theta, func, perturbations=200, delta=1e-6):
@@ -126,8 +157,10 @@ class HessianApproximator:
     def compute(self, x):
         if self.method == "finite_difference":
             return finite_difference(x, self.func, self.epsilon)
-        if self.method in ("bfgs", "autodiff"):
+        if self.method == "autodiff":
             return autodiff_hessian(x, self.func)
+        if self.method in ("bfgs", "lbfgs"):
+            return lbfgs(x, self.func)
         if self.method == "regression_gradient":
             return regression_gradient(x, self.func, delta=self.delta)
         if self.method == "regression_gradient_regularized":

@@ -29,6 +29,11 @@ def _weighted_mean_cov(samples, weights):
     mean = (w[:, None] * x).sum(0) / wsum
     diff = x - mean
     denom = wsum - (w ** 2).sum() / wsum  # torch aweights normalization
+    # when one elite carries all the mass, denom -> 0 and torch.cov emits
+    # NaN/inf that poisons the proposal update; clamp to a tiny positive
+    # value so the covariance degenerates to ~0 spread instead (the diagonal
+    # clamp downstream then floors it)
+    denom = max(denom, 1e-12)
     cov = (w[:, None] * diff).T @ diff / denom
     return mean, cov
 

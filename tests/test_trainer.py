@@ -213,3 +213,67 @@ def test_truncated_checkpoint_fallback(tmp_path):
     assert resolved == good
     state = CheckpointManager.load(resolved)
     assert state["epoch"] == 1
+
+
+def test_mesh_export_marching_tetrahedra_isosurface(tmp_path):
+    """The exporter emits a true interpolated iso-surface (VERDICT r1 #7):
+    watertight, vertices on the level set, outward winding."""
+    from nerfsafetyvalidation_tpu.train.mesh_export import extract_geometry
+
+    def query(pts):  # density 10*(0.5 - r): iso level 0 at radius 0.5
+        return 10.0 * (0.5 - np.linalg.norm(pts, axis=-1))
+
+    verts, faces = extract_geometry(
+        np.asarray([-1.0] * 3), np.asarray([1.0] * 3), 48, 0.0, query)
+    r = np.linalg.norm(verts, axis=-1)
+    assert abs(float(r.mean()) - 0.5) < 2e-3
+    assert float(np.abs(r - 0.5).max()) < 5e-3
+    # watertight: every edge shared by exactly two faces
+    e = np.sort(np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(
+        e[:, 0].astype(np.int64) * (1 << 32) + e[:, 1], return_counts=True)
+    assert set(counts.tolist()) == {2}
+    # area close to the analytic sphere area
+    p0, p1, p2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1).sum()
+    assert abs(area - 4 * np.pi * 0.25) < 0.05
+    # outward orientation
+    n = np.cross(p1 - p0, p2 - p0)
+    c = (p0 + p1 + p2) / 3
+    assert (np.einsum("fd,fd->f", n, c) > 0).all()
+
+
+def test_ema_updates_every_step(tiny_net, tmp_path):
+    """Per-STEP EMA parity with the reference (utils.py:815): after two
+    steps, ema = d^2*p0 + d(1-d)*p1 + (1-d)*p2."""
+    import jax
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.train.trainer import Trainer
+    from nerfsafetyvalidation_tpu.config import TrainConfig
+
+    net = tiny_net
+    opt = TrainConfig(num_steps=8, upsample_steps=0, workspace=None)
+    d = 0.5
+    tr = Trainer("ema", opt, net, ema_decay=d, workspace=None)
+    p_hist = [jax.tree_util.tree_map(jnp.array, tr.params)]
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        data = {
+            "rays_o": jnp.asarray(rng.uniform(-0.1, 0.1, (1, 32, 3)),
+                                  dtype=jnp.float32),
+            "rays_d": jnp.asarray(rng.normal(size=(1, 32, 3)),
+                                  dtype=jnp.float32),
+            "images": jnp.full((1, 32, 3), 0.5, dtype=jnp.float32),
+        }
+        tr.train_step(data)
+        p_hist.append(jax.tree_util.tree_map(jnp.array, tr.params))
+
+    expect = jax.tree_util.tree_map(
+        lambda p0, p1, p2: d * (d * p0 + (1 - d) * p1) + (1 - d) * p2,
+        *p_hist)
+    leaves_e = jax.tree_util.tree_leaves(expect)
+    leaves_a = jax.tree_util.tree_leaves(tr.ema_params)
+    for a, b in zip(leaves_a, leaves_e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

