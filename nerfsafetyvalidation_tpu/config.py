@@ -35,6 +35,12 @@ class NetworkConfig:
     sh_degree: int = 4
     multires: int = 6                          # frequency encoding degree
     align_corners: bool = False
+    # TPU-aligned grid: power-of-two level scales that nest exactly, enabling
+    # the folded-table inference encode (ops/hash_encoding.build_folded_table
+    # — 1 HBM row for all levels with scale <= fold_max_scale). The flagship
+    # TPU config pairs this with num_levels=8, level_dim=4.
+    aligned_levels: bool = False
+    fold_max_scale: int = 128
     # renderer knobs (renderer.py:62-78)
     density_scale: float = 1.0
     min_near: float = 0.2

@@ -9,7 +9,11 @@ __all__ = ["NeRFNetwork", "render", "run", "RendererState",
 
 def make_network(cfg, opt=None):
     """Backbone dispatch for the entry points: --ff/--tcnn select the
-    fused FFMLP topology (reference validate.py:120-129 import switch)."""
+    fused FFMLP topology (reference validate.py:120-129 import switch);
+    encoding='mipfold' selects the flagship TPU mip-fold backbone."""
+    if getattr(cfg, "encoding", None) == "mipfold":
+        from .network_mip import NeRFNetworkMip
+        return NeRFNetworkMip(cfg)
     if opt is not None and (getattr(opt, "ff", False)
                             or getattr(opt, "tcnn", False)):
         from .network_ff import NeRFNetworkFF

@@ -84,7 +84,8 @@ class NeRFNetwork:
                 log2_hashmap_size=cfg.log2_hashmap_size,
                 desired_resolution=cfg.grid_resolution,
                 gridtype="hash" if cfg.encoding == "hashgrid" else "tiled",
-                align_corners=cfg.align_corners)
+                align_corners=cfg.align_corners,
+                aligned=getattr(cfg, "aligned_levels", False))
             self.in_dim = self.grid_spec.output_dim
         elif cfg.encoding == "frequency":
             self.grid_spec = None
@@ -176,9 +177,39 @@ class NeRFNetwork:
         out["encoder"] = enc
         return out
 
+    def to_folded(self, params):
+        """Return params augmented with the folded-table fast-inference
+        layout (aligned specs only): ONE row gather covers every level with
+        scale <= cfg.fold_max_scale, one cell row per finer level. Exact —
+        see ops/hash_encoding.build_folded_table."""
+        from ..ops.hash_encoding import (build_folded_table,
+                                         build_hashed_cell_table,
+                                         default_fold_levels)
+        if self.grid_spec is None or not self.grid_spec.aligned:
+            raise ValueError("to_folded needs cfg.aligned_levels=True")
+        n_fold = default_fold_levels(self.grid_spec, self.cfg.fold_max_scale)
+        emb = params["encoder"]["embeddings"].astype(self.compute_dtype)
+        out = dict(params)
+        enc = dict(params["encoder"])
+        enc["fold_table"] = build_folded_table(emb, self.grid_spec, n_fold)
+        enc["hash_cell_table"] = build_hashed_cell_table(
+            emb, self.grid_spec, n_fold)
+        out["encoder"] = enc
+        return out
+
     def encode_pos(self, params, x):
         cfg = self.cfg
         if self.grid_spec is not None:
+            enc = params.get("encoder", {})
+            if "fold_table" in enc:
+                from ..ops.hash_encoding import (hash_grid_encode_folded,
+                                                 default_fold_levels)
+                n_fold = default_fold_levels(self.grid_spec,
+                                             cfg.fold_max_scale)
+                return hash_grid_encode_folded(
+                    enc["fold_table"].astype(self.compute_dtype),
+                    enc["hash_cell_table"].astype(self.compute_dtype),
+                    x, self.grid_spec, n_fold, bound=cfg.bound)
             if "cell_table" in params.get("encoder", {}):
                 tbl = params["encoder"]["cell_table"].astype(self.compute_dtype)
                 return hash_grid_encode_cell(tbl, x, self.grid_spec,

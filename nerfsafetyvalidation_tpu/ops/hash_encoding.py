@@ -44,6 +44,12 @@ class HashGridSpec:
     log2_hashmap_size: int = 19
     gridtype: str = "hash"  # 'hash' | 'tiled'
     align_corners: bool = False
+    # TPU-aligned mode: per-level scales are EXACT powers of two of the base
+    # (scale_l = base * 2^l, pos = u * scale), so every level's cell
+    # boundaries nest inside the finer levels' — the property that makes the
+    # folded-table encode (build_folded_table) exact. Reference specs keep
+    # the exp2f(l*S)*H - 1 semantics (gridencoder.cu:126) and cannot fold.
+    aligned: bool = False
     # derived, filled by make()
     scales: Tuple[float, ...] = field(default=())
     resolutions: Tuple[int, ...] = field(default=())
@@ -63,7 +69,12 @@ class HashGridSpec:
     @staticmethod
     def make(input_dim=3, num_levels=16, level_dim=2, per_level_scale=2.0,
              base_resolution=16, log2_hashmap_size=19, desired_resolution=None,
-             gridtype="hash", align_corners=False) -> "HashGridSpec":
+             gridtype="hash", align_corners=False,
+             aligned=False) -> "HashGridSpec":
+        if aligned:
+            return HashGridSpec._make_aligned(
+                input_dim, num_levels, level_dim, base_resolution,
+                log2_hashmap_size, gridtype)
         if desired_resolution is not None:
             per_level_scale = float(np.exp2(
                 np.log2(desired_resolution / base_resolution) / (num_levels - 1)))
@@ -100,6 +111,43 @@ class HashGridSpec:
             align_corners=align_corners, scales=tuple(scales),
             resolutions=tuple(resolutions), offsets=tuple(offsets),
             sizes=tuple(sizes), use_hash=tuple(use_hash), strides=tuple(strides))
+
+    @staticmethod
+    def _make_aligned(input_dim, num_levels, level_dim, base_resolution,
+                      log2_hashmap_size, gridtype) -> "HashGridSpec":
+        """TPU-aligned spec: scale_l = base * 2^l (exact), grid POINTS per
+        axis = scale + 1 (align-corners layout, pos = u * scale). Level cell
+        boundaries nest exactly across levels — see build_folded_table."""
+        max_params = 2 ** log2_hashmap_size
+        scales, resolutions, offsets, sizes, use_hash, strides = \
+            [], [], [], [], [], []
+        offset = 0
+        for lvl in range(num_levels):
+            scale = base_resolution * (2 ** lvl)
+            res = scale + 1
+            params_in_level = min(max_params, res ** input_dim)
+            params_in_level = int(np.ceil(params_in_level / 8) * 8)
+            stride = 1
+            lvl_strides = []
+            for _ in range(input_dim):
+                lvl_strides.append(stride if stride <= params_in_level else 0)
+                stride *= res
+            scales.append(float(scale))
+            resolutions.append(res)
+            offsets.append(offset)
+            sizes.append(params_in_level)
+            use_hash.append(gridtype == "hash" and stride > params_in_level)
+            strides.append(tuple(lvl_strides))
+            offset += params_in_level
+        offsets.append(offset)
+        return HashGridSpec(
+            input_dim=input_dim, num_levels=num_levels, level_dim=level_dim,
+            per_level_scale=2.0, base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size, gridtype=gridtype,
+            align_corners=True, aligned=True, scales=tuple(scales),
+            resolutions=tuple(resolutions), offsets=tuple(offsets),
+            sizes=tuple(sizes), use_hash=tuple(use_hash),
+            strides=tuple(strides))
 
 
 def hash_grid_init(key, spec: HashGridSpec, std: float = 1e-4, dtype=jnp.float32):
@@ -268,6 +316,10 @@ def _encode_cell_chunk(cell_table, x, spec, bound):
         scale = np.float32(spec.scales[lvl])
         pos = u * scale + (0.0 if spec.align_corners else np.float32(0.5))
         pos_floor = jnp.floor(pos)
+        if spec.aligned:
+            # u == 1 lands exactly on the last grid point; clamp to the last
+            # CELL so frac = 1 interpolates to it instead of reading past it
+            pos_floor = jnp.minimum(pos_floor, scale - 1.0)
         frac = pos - pos_floor
         cell_grid = pos_floor.astype(jnp.uint32)
         all_rows.append(_cell_rows(spec, lvl, sizes, offsets, strides,
@@ -312,6 +364,8 @@ def _encode_corner_chunk(embeddings, x, spec, bound):
         scale = np.float32(spec.scales[lvl])
         pos = u * scale + (0.0 if spec.align_corners else np.float32(0.5))
         pos_floor = jnp.floor(pos)
+        if spec.aligned:
+            pos_floor = jnp.minimum(pos_floor, scale - 1.0)
         frac = pos - pos_floor  # [N, D]
         pos_grid = pos_floor.astype(jnp.uint32)  # [N, D]
         corner_grid = pos_grid[:, None, :] + jnp.asarray(bits)[None, :, :]  # [N, 2^D, D]
@@ -325,4 +379,164 @@ def _encode_corner_chunk(embeddings, x, spec, bound):
     feats = jnp.take(embeddings, rows, axis=0)         # [N, L, 2^D, C]
     out = jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=2)  # [N, L, C]
     out = out.reshape(out.shape[0], spec.output_dim)   # level-major [N, L*C]
+    return jnp.where(oob[:, None], jnp.zeros_like(out), out)
+
+
+# --------------------------------------------------------------------------
+# Folded-table encode (the round-2 gather-wall breaker)
+#
+# HBM random-access cost on TPU is per ROW, not per byte (BENCH_NOTES.md
+# "the gather wall"): the reference layout needs L*2^D rows/sample
+# (gridencoder.cu kernel_grid, :75-224) and the cell layout L rows. In an
+# ALIGNED spec every level's cells nest inside the finer levels', so the
+# trilinear interpolant of every level with scale <= F restricted to one
+# cell of the res-F grid is itself trilinear — storing each such level's
+# field values at the fine cell's 8 corners reproduces it EXACTLY. All
+# folded levels therefore collapse into ONE [F^3, n_fold*2^D*C] row gather
+# with ONE shared weight computation; only levels finer than F still cost a
+# row each. Flagship spec (L=8, C=4, 16..2048, fold at F=128): 5 rows/sample
+# instead of the reference's 128.
+# --------------------------------------------------------------------------
+
+def default_fold_levels(spec: HashGridSpec, max_fold_scale: int = 128) -> int:
+    """Number of leading levels folded: every level with scale <= F where F
+    is the largest scale <= max_fold_scale (F^3 fold-table rows; 128 ->
+    2.1M rows, ~0.5 GB at C=4 bf16)."""
+    n = 0
+    for lvl in range(spec.num_levels):
+        if spec.scales[lvl] <= max_fold_scale:
+            n = lvl + 1
+    return max(n, 1)
+
+
+def _level_values(embeddings, spec: HashGridSpec, lvl: int, u):
+    """Level-`lvl` interpolated features at u [N, D] in [0, 1] -> [N, C]."""
+    scale = np.float32(spec.scales[lvl])
+    bits = _corner_bits(spec.input_dim)
+    bits_f = bits.astype(np.float32)
+    pos = u * scale + (0.0 if spec.align_corners else np.float32(0.5))
+    pos_floor = jnp.floor(pos)
+    if spec.aligned:
+        pos_floor = jnp.minimum(pos_floor, scale - 1.0)
+    frac = pos - pos_floor
+    corner_grid = pos_floor.astype(jnp.uint32)[:, None, :] \
+        + jnp.asarray(bits)[None]
+    rows = _level_rows(spec, lvl, corner_grid)                # [N, 2^D]
+    w = jnp.prod(jnp.where(jnp.asarray(bits_f)[None] > 0,
+                           frac[:, None, :], 1.0 - frac[:, None, :]),
+                 axis=-1)                                     # [N, 2^D]
+    feats = jnp.take(embeddings, rows, axis=0)                # [N, 2^D, C]
+    return jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=1)
+
+
+def build_folded_table(embeddings, spec: HashGridSpec, fold_levels: int):
+    """Fold the first `fold_levels` levels into one dense voxel table.
+
+    Requires spec.aligned (exactness needs nesting cell boundaries). Returns
+    [F^3, fold_levels * 2^D * C] where F = scales[fold_levels-1]; row layout
+    is level-major then corner-major; rows indexed lexicographically
+    ((x*F + y)*F + z).
+    """
+    if not spec.aligned:
+        raise ValueError("build_folded_table needs an aligned spec "
+                         "(HashGridSpec.make(aligned=True))")
+    if spec.input_dim != 3:
+        raise NotImplementedError("folded tables are 3-D only")
+    F = int(spec.scales[fold_levels - 1])
+    C = spec.level_dim
+
+    # field values of each folded level at ALL fine grid points [(F+1)^3, C]
+    g = np.arange(F + 1, dtype=np.float32) / np.float32(F)
+    gx, gy, gz = np.meshgrid(g, g, g, indexing="ij")
+    u_pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1))
+
+    level_vals = []
+    for lvl in range(fold_levels):
+        v = _chunked_encode(
+            lambda uc, _l=lvl: _level_values(embeddings, spec, _l, uc),
+            u_pts, C)
+        level_vals.append(v.reshape(F + 1, F + 1, F + 1, C))
+
+    # folded[cell, lvl, corner] = V_lvl[cell + corner_offset]: 8 shifted
+    # views per level — dense slicing, no gathers
+    bits = _corner_bits(3)
+    per_level = []
+    for v in level_vals:
+        corners = [v[bx:bx + F, by:by + F, bz:bz + F]
+                   for bx, by, bz in bits.astype(int)]
+        per_level.append(jnp.stack(corners, axis=3))   # [F,F,F,8,C]
+    folded = jnp.stack(per_level, axis=3)              # [F,F,F,n_fold,8,C]
+    return folded.reshape(F ** 3, fold_levels * 8 * C)
+
+
+def build_hashed_cell_table(embeddings, spec: HashGridSpec, fold_levels: int):
+    """Cell-layout table for the non-folded (finer) levels only, rebased so
+    row 0 is the first cell of level `fold_levels`."""
+    full = build_cell_table(embeddings, spec)
+    _, offsets, _ = cell_sizes(spec)
+    return full[offsets[fold_levels]:]
+
+
+def hash_grid_encode_folded(fold_table, hashed_cell_table, x,
+                            spec: HashGridSpec, fold_levels: int,
+                            bound: float = 1.0):
+    """Folded encode: 1 row gather for all folded levels + 1 cell row per
+    finer level. Exact-equal to hash_grid_encode_cell for aligned specs."""
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, spec.input_dim)
+    out = _chunked_encode(
+        lambda xc: _encode_folded_chunk(fold_table, hashed_cell_table, xc,
+                                        spec, fold_levels, bound),
+        x, spec.output_dim)
+    return out.reshape(prefix + (spec.output_dim,))
+
+
+def _encode_folded_chunk(fold_table, hashed_cell_table, x, spec,
+                         fold_levels, bound):
+    u = (x.astype(jnp.float32) + bound) / (2.0 * bound)
+    oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)
+    F = int(spec.scales[fold_levels - 1])
+    C = spec.level_dim
+    bits_f = _corner_bits(3).astype(np.float32)
+
+    # folded levels: one row, one shared trilinear weight set
+    pos = u * np.float32(F)
+    cell = jnp.clip(jnp.floor(pos), 0.0, F - 1.0)
+    frac = pos - cell
+    w8 = jnp.prod(jnp.where(jnp.asarray(bits_f)[None] > 0,
+                            frac[:, None, :], 1.0 - frac[:, None, :]),
+                  axis=-1)                                    # [N, 8]
+    ci = cell.astype(jnp.int32)
+    row = (ci[:, 0] * F + ci[:, 1]) * F + ci[:, 2]
+    feats = jnp.take(fold_table, row, axis=0)                 # [N, nf*8*C]
+    feats = feats.reshape(feats.shape[0], fold_levels, 8, C)
+    dense_out = jnp.sum(w8[:, None, :, None].astype(feats.dtype) * feats,
+                        axis=2)                               # [N, nf, C]
+    outs = [dense_out.reshape(dense_out.shape[0], fold_levels * C)]
+
+    # finer levels: standard cell-layout encode, offsets rebased
+    n_hash = spec.num_levels - fold_levels
+    if n_hash > 0:
+        sizes, offsets, strides = cell_sizes(spec)
+        base = offsets[fold_levels]
+        all_rows, all_w = [], []
+        for lvl in range(fold_levels, spec.num_levels):
+            scale = np.float32(spec.scales[lvl])
+            p = u * scale
+            pf = jnp.minimum(jnp.floor(p), scale - 1.0)
+            fr = p - pf
+            cg = pf.astype(jnp.uint32)
+            all_rows.append(_cell_rows(spec, lvl, sizes, offsets, strides,
+                                       cg) - base)
+            all_w.append(jnp.prod(jnp.where(jnp.asarray(bits_f)[None] > 0,
+                                            fr[:, None, :],
+                                            1.0 - fr[:, None, :]), axis=-1))
+        rows = jnp.stack(all_rows, axis=1)                    # [N, nh]
+        w = jnp.stack(all_w, axis=1)                          # [N, nh, 8]
+        hf = jnp.take(hashed_cell_table, rows, axis=0)        # [N, nh, 8*C]
+        hf = hf.reshape(hf.shape[0], n_hash, 8, C)
+        hout = jnp.sum(w[..., None].astype(hf.dtype) * hf, axis=2)
+        outs.append(hout.reshape(hout.shape[0], n_hash * C))
+
+    out = jnp.concatenate(outs, axis=-1)
     return jnp.where(oob[:, None], jnp.zeros_like(out), out)

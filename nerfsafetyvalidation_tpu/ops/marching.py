@@ -67,13 +67,19 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
 
     slot_iota = jnp.arange(K)
 
+    # the loop carries ONE [N, K] slot buffer (sample start times); dt per
+    # sample is a pure function of t (dt = clamp(t*dt_gamma, ...)) and the
+    # reference's depth step rs_i = end_i - end_{i-1} telescopes from the
+    # stored ts, so both are recomputed after the loop — this cuts the
+    # per-iteration HBM slot-buffer rewrite traffic 4x vs carrying
+    # (ts, dts, rs, last_t)
     def cond(carry):
-        t, count, last_t, ts, dts, rs, it = carry
+        t, count, ts, it = carry
         active = (t < fars) & (count < K)
         return jnp.any(active) & (it < max_steps)
 
     def body(carry):
-        t, count, last_t, ts, dts, rs, it = carry
+        t, count, ts, it = carry
         pos = jnp.clip(rays_o + t[:, None] * rays_d, -bound, bound)  # [N,3]
         dt = jnp.clip(t * dt_gamma, dt_min, dt_max)                  # [N]
         level = jnp.maximum(_mip_from_pos(pos, cascade),
@@ -96,32 +102,29 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
 
         active = (t < fars) & (count < K)
         emit = occ & active
-
-        # one-hot scatter into slot `count` (VPU, [N, K])
-        onehot = (slot_iota[None, :] == count[:, None]) & emit[:, None]
         new_t = t + dt
-        ts = jnp.where(onehot, t[:, None], ts)
-        dts = jnp.where(onehot, dt[:, None], dts)
-        rs = jnp.where(onehot, (new_t - last_t)[:, None], rs)
-        last_t = jnp.where(emit, new_t, last_t)
-        count = count + emit.astype(jnp.int32)
 
         if samples_per_hit == 2:
             # paired emission: cells span ~2 dt steps, so emit the next dt
             # sample in the same iteration — halves the gather-bound
             # iteration count through occupied regions (the second sample
             # skips the occupancy re-check; a miss only wastes a slot since
-            # the network, not the grid, defines the field)
-            emit2 = emit & (new_t < fars) & (count < K)
+            # the network, not the grid, defines the field). Both slots are
+            # written in ONE [N, K] pass: slot count gets t, slot count+1
+            # gets new_t.
             dt2 = jnp.clip(new_t * dt_gamma, dt_min, dt_max)
-            onehot2 = (slot_iota[None, :] == count[:, None]) & emit2[:, None]
+            emit2 = emit & (new_t < fars) & (count + 1 < K)
             new_t2 = new_t + dt2
-            ts = jnp.where(onehot2, new_t[:, None], ts)
-            dts = jnp.where(onehot2, dt2[:, None], dts)
-            rs = jnp.where(onehot2, dt2[:, None], rs)
-            last_t = jnp.where(emit2, new_t2, last_t)
-            count = count + emit2.astype(jnp.int32)
+            off = slot_iota[None, :] - count[:, None]                # [N, K]
+            write = emit[:, None] & ((off == 0) | (emit2[:, None] & (off == 1)))
+            val = jnp.where(off == 0, t[:, None], new_t[:, None])
+            ts = jnp.where(write, val, ts)
+            count = count + emit.astype(jnp.int32) + emit2.astype(jnp.int32)
             new_t = jnp.where(emit2, new_t2, new_t)
+        else:
+            onehot = (slot_iota[None, :] == count[:, None]) & emit[:, None]
+            ts = jnp.where(onehot, t[:, None], ts)
+            count = count + emit.astype(jnp.int32)
 
         # empty cell: jump to the next voxel boundary (raymarching.cu:392-403)
         cell = (nxyz.astype(jnp.float32) + 0.5
@@ -136,18 +139,18 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
         # at least one dt step, then ceil to reach tt like the do-while
         skip_t = jnp.maximum(new_t, tt)
         t = jnp.where(active, jnp.where(emit, new_t, skip_t), t)
-        return (t, count, last_t, ts, dts, rs, it + 1)
+        return (t, count, ts, it + 1)
 
     init = (t0,
             jnp.zeros((N,), dtype=jnp.int32),
-            t0,
-            jnp.zeros((N, K)),
-            jnp.zeros((N, K)),
             jnp.zeros((N, K)),
             jnp.asarray(0, dtype=jnp.int32))
-    t, count, last_t, ts, dts, rs, _ = jax.lax.while_loop(cond, body, init)
+    t, count, ts, _ = jax.lax.while_loop(cond, body, init)
 
     mask = slot_iota[None, :] < count[:, None]
+    dts = jnp.clip(ts * dt_gamma, dt_min, dt_max) * mask
+    ends = ts + dts
+    rs = (ends - jnp.concatenate([t0[:, None], ends[:, :-1]], axis=1)) * mask
     xyzs = jnp.clip(rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
                     -bound, bound)
     return {"xyzs": xyzs, "deltas": dts, "rs": rs, "ts": ts, "mask": mask,

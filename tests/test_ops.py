@@ -301,3 +301,95 @@ class TestCellLayout:
         a = np.asarray(net.density(params, x)["sigma"])
         b = np.asarray(net.density(cparams, x)["sigma"])
         np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+class TestFoldedEncode:
+    """Aligned-spec folded-table encode (the round-2 gather-wall breaker):
+    ONE row gather must reproduce every folded level exactly."""
+
+    def _spec(self):
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import HashGridSpec
+        return HashGridSpec.make(num_levels=5, level_dim=2,
+                                 base_resolution=4, log2_hashmap_size=10,
+                                 aligned=True)  # scales 4,8,16,32,64
+
+    def test_aligned_spec_scales_nest(self):
+        spec = self._spec()
+        assert spec.aligned and spec.align_corners
+        assert spec.scales == (4.0, 8.0, 16.0, 32.0, 64.0)
+        assert spec.resolutions == (5, 9, 17, 33, 65)
+        # 4,8 dense ((scale+1)^3 <= 1024); 16+ hashed
+        assert spec.use_hash == (False, False, True, True, True)
+
+    def test_folded_matches_reference_semantics(self):
+        import jax
+        import jax.numpy as jnp
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import (
+            hash_grid_init, hash_grid_encode, hash_grid_encode_cell,
+            hash_grid_encode_folded, build_folded_table,
+            build_hashed_cell_table, build_cell_table, default_fold_levels)
+
+        spec = self._spec()
+        emb = hash_grid_init(jax.random.PRNGKey(0), spec, std=0.5)
+        n_fold = default_fold_levels(spec, max_fold_scale=16)
+        assert n_fold == 3  # folds the two dense levels AND hashed 16
+
+        fold = build_folded_table(emb, spec, n_fold)
+        hcell = build_hashed_cell_table(emb, spec, n_fold)
+        assert fold.shape == (16 ** 3, n_fold * 8 * 2)
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-1, 1, (512, 3)), dtype=jnp.float32)
+        # include exact boundary points
+        x = jnp.concatenate([x, jnp.asarray([[1.0, 1.0, 1.0],
+                                             [-1.0, -1.0, -1.0],
+                                             [0.0, 0.0, 0.0]])])
+        out_fold = hash_grid_encode_folded(fold, hcell, x, spec, n_fold)
+        out_corner = hash_grid_encode(emb, x, spec)
+        cell = build_cell_table(emb, spec)
+        out_cell = hash_grid_encode_cell(cell, x, spec)
+
+        C = spec.level_dim
+        # folded levels reproduce the reference corner-layout semantics
+        np.testing.assert_allclose(np.asarray(out_fold[:, :n_fold * C]),
+                                   np.asarray(out_corner[:, :n_fold * C]),
+                                   rtol=1e-5, atol=1e-6)
+        # finer levels match the cell-layout path bit for bit
+        np.testing.assert_allclose(np.asarray(out_fold[:, n_fold * C:]),
+                                   np.asarray(out_cell[:, n_fold * C:]),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_oob_zeroed(self):
+        import jax
+        import jax.numpy as jnp
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import (
+            hash_grid_init, hash_grid_encode_folded, build_folded_table,
+            build_hashed_cell_table, default_fold_levels)
+        spec = self._spec()
+        emb = hash_grid_init(jax.random.PRNGKey(0), spec, std=0.5)
+        n_fold = default_fold_levels(spec, max_fold_scale=8)
+        fold = build_folded_table(emb, spec, n_fold)
+        hcell = build_hashed_cell_table(emb, spec, n_fold)
+        x = jnp.asarray([[1.5, 0.0, 0.0], [0.0, -1.01, 0.0]])
+        out = hash_grid_encode_folded(fold, hcell, x, spec, n_fold)
+        assert np.all(np.asarray(out) == 0.0)
+
+    def test_network_to_folded_density_matches(self):
+        import jax
+        import jax.numpy as jnp
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+
+        cfg = NetworkConfig(bound=1.0, aligned_levels=True, num_levels=4,
+                            level_dim=2, base_resolution=4,
+                            log2_hashmap_size=10, fold_max_scale=8)
+        net = NeRFNetwork(cfg)
+        params = net.init(jax.random.PRNGKey(0))
+        folded = net.to_folded(params)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(-1, 1, (128, 3)), dtype=jnp.float32)
+        a = net.density(params, x)
+        b = net.density(folded, x)
+        np.testing.assert_allclose(np.asarray(a["sigma"]),
+                                   np.asarray(b["sigma"]), rtol=2e-4,
+                                   atol=1e-5)
