@@ -76,6 +76,9 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
                         help="occupancy-marched + cell-table rendering for "
                              "the validation loop's observation renders "
                              "(builds the density grid from the checkpoint)")
+    parser.add_argument("--batched_obs_res", type=int, default=100,
+                        help="observation render resolution inside the "
+                             "batched rollout scan")
     parser.add_argument("--batched_rollouts", action="store_true",
                         help="run the vmapped TPU rollout engine instead of "
                              "the sequential loop")

@@ -145,9 +145,15 @@ class EnvConfig:
 def network_config_from_opt(opt) -> NetworkConfig:
     """Build a NetworkConfig from an argparse-style namespace with the
     reference CLI flags (main_nerf.py:10-59)."""
+    extra = {}
+    if getattr(opt, "encoding", "hashgrid") == "mipfold":
+        # flagship TPU backbone defaults (models/network_mip.py):
+        # 8 power-of-two scales 16..2048, 4 channels each
+        extra = dict(num_levels=8, level_dim=4, aligned_levels=True)
     return NetworkConfig(
         encoding=getattr(opt, "encoding", "hashgrid"),
         bound=opt.bound,
+        **extra,
         density_scale=1.0,
         min_near=opt.min_near,
         density_thresh=opt.density_thresh,

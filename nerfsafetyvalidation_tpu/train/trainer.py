@@ -151,6 +151,8 @@ class Trainer:
         grid_max_samples = getattr(opt, "grid_max_samples", 64)
         grid_max_steps = getattr(opt, "max_steps", 1024)
         dt_gamma = getattr(opt, "dt_gamma", 0.0)
+        samples_per_hit = getattr(opt, "grid_samples_per_hit", 1)
+        budget_per_ray = getattr(opt, "grid_sample_budget_per_ray", 16)
 
         ema_decay = self.ema_decay
 
@@ -188,7 +190,9 @@ class Trainer:
                                      max_steps=grid_max_steps,
                                      dt_gamma=dt_gamma, bg_color=flat_bg,
                                      perturb_key=k_render,
-                                     sample_budget=flat_o.shape[0] * 16)
+                                     samples_per_hit=samples_per_hit,
+                                     sample_budget=flat_o.shape[0]
+                                     * budget_per_ray)
                 else:
                     out = R.run(net, p, flat_o, flat_d, num_steps=num_steps,
                                 upsample_steps=upsample_steps,
@@ -280,8 +284,13 @@ class Trainer:
                     self.global_step % getattr(self.opt, "update_extra_interval",
                                                16) == 0):
                 self.key, sub = jax.random.split(self.key)
+                # mip-fold nets probe the 128^3 grid through the folded
+                # tables (1+1 rows/point instead of 8+1; the fold rebuild is
+                # dense compute, far cheaper than the extra gather rows)
+                probe = self.net.to_folded(self.params) \
+                    if self.net.cfg.encoding == "mipfold" else self.params
                 self.renderer_state = R.update_extra_state(
-                    self.net, self.params, self.renderer_state, sub,
+                    self.net, probe, self.renderer_state, sub,
                     grid_size=self.net.cfg.grid_size)
             self.local_step += 1
             self.global_step += 1

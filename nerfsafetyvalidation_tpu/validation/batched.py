@@ -17,6 +17,7 @@ for exact reference semantics; this is the throughput path, and what the
 a device mesh for multi-chip scaling.
 """
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -189,3 +190,342 @@ class BatchedRolloutEngine:
     @staticmethod
     def _diag_logpdf(x, mean, var):
         return (-0.5 * ((x - mean) ** 2 / var + np.log(var) + _LOG_2PI)).sum(-1)
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity batched engine (VERDICT r1 item 3 / BASELINE configs 4-5):
+# the NeRF observation render, Gaussian-approximation UQ, safety-masked
+# reward, reward-adapted noise std and the 4-point SDF collision check ALL
+# run inside the vmapped scan — the whole MC/CEM population is one jitted
+# program. The estimator/replan stay host-side by design (they interleave
+# cv2 SIFT and serve only the planner update; with epochs_update=0 the
+# sequential loop's dynamics are bit-identical to this open-loop engine,
+# which is what the cross-check test uses).
+# ---------------------------------------------------------------------------
+
+class FullBatchedRolloutEngine(BatchedRolloutEngine):
+    def __init__(self, actions, dt, g, mass, I, sdf, sdf_start, granularity,
+                 noise_mean, noise_std, start_state, net=None, params=None,
+                 obs_res=100, render_steps=64, base_intrinsics=None,
+                 base_res=800, uq_iters=100, uq_lr=1e-2,
+                 penalty_strength=36.0, mesh=None, renderer_state=None,
+                 grid_max_samples=16):
+        self.net = net
+        self.params = params
+        self.obs_res = int(obs_res)
+        self.render_steps = int(render_steps)
+        self.renderer_state = renderer_state
+        self.grid_max_samples = int(grid_max_samples)
+        if base_intrinsics is None:
+            base_intrinsics = (1111.0, 1111.0, base_res / 2, base_res / 2)
+        s = self.obs_res / float(base_res)
+        self.intrinsics = (base_intrinsics[0] * s, base_intrinsics[1] * s,
+                           base_intrinsics[2] * s, base_intrinsics[3] * s)
+        self.uq_iters = int(uq_iters)
+        self.uq_lr = float(uq_lr)
+        self.penalty_strength = float(penalty_strength)
+        super().__init__(actions, dt, g, mass, I, sdf, sdf_start, granularity,
+                         noise_mean, noise_std, start_state, mesh=mesh)
+
+    # ------------------------------------------------------------- obs render
+    def _pose_from_state(self, state):
+        """12-state -> NGP camera pose (estimator_helpers.py:199-208 path:
+        rot_x(pi/2) camera correction then nerf_matrix_to_ngp)."""
+        from ..nav.math_utils import (vec_to_rot_matrix, rot_x,
+                                      nerf_matrix_to_ngp_jax)
+        R = vec_to_rot_matrix(state[6:9])
+        rot = rot_x(jnp.pi / 2) @ R
+        p, t = nerf_matrix_to_ngp_jax(rot, state[:3])
+        pose = jnp.eye(4)
+        pose = pose.at[:3, :3].set(p)
+        return pose.at[:3, 3].set(t)
+
+    def _render_obs(self, state):
+        """Reduced-resolution observation render (the reference's 800^2
+        staged render, envConfig.json:51-52, shrunk to obs_res^2 for the
+        in-scan path). Returns (image [R^2,3], rgbs [R^2,S,3],
+        sigmas [R^2,S])."""
+        from ..data.rays import get_rays
+        from ..models import renderer as R
+
+        pose = self._pose_from_state(state)
+        rays = get_rays(pose[None], self.intrinsics, self.obs_res,
+                        self.obs_res)
+        ro = rays["rays_o"].reshape(-1, 3)
+        rd = rays["rays_d"].reshape(-1, 3)
+        if self.renderer_state is not None:
+            out = R.run_grid(self.net, self.params, self.renderer_state,
+                             ro, rd, max_samples=self.grid_max_samples,
+                             max_steps=512, bg_color=1.0, samples_per_hit=2)
+            K = self.grid_max_samples
+        else:
+            out = R.run(self.net, self.params, ro, rd,
+                        num_steps=self.render_steps, upsample_steps=0,
+                        bg_color=1.0)
+            K = self.render_steps
+        n = ro.shape[0]
+        return (out["image"], out["rgbs"].reshape(n, K, 3),
+                out["sigmas"].reshape(n, K))
+
+    # ------------------------------------------------------------------- UQ
+    def _gaussian_uq(self, rgbs, sigmas, image):
+        """Jitted Gaussian-approximation UQ: same objective and init as
+        uq/gaussian_approximation.py (reference gaussian_approximation...py
+        :24-52) minimized with a fixed-iteration Adam instead of host scipy."""
+        c = rgbs
+        d = sigmas[..., None]
+        S_c2d2 = jnp.sum((c * d) ** 2)
+        S_cd = jnp.sum(c * d)
+        r_mean = jnp.mean(image)
+        d_mean = jnp.mean(d)
+        d_std = jnp.std(d)
+
+        def obj(p):
+            mu, sig = p[0], p[1]
+            s2 = jnp.maximum(S_c2d2 * sig ** 2, 1e-30)
+            return jnp.log(s2) + (r_mean - S_cd * mu) ** 2 / s2
+
+        g = jax.grad(obj)
+        b1, b2, eps, lr = 0.9, 0.999, 1e-8, self.uq_lr
+
+        def body(i, carry):
+            p, m, v = carry
+            gr = g(p)
+            m = b1 * m + (1 - b1) * gr
+            v = b2 * v + (1 - b2) * gr ** 2
+            mh = m / (1 - b1 ** (i + 1.0))
+            vh = v / (1 - b2 ** (i + 1.0))
+            return (p - lr * mh / (jnp.sqrt(vh) + eps), m, v)
+
+        p0 = jnp.stack([d_mean, d_std])
+        p, _, _ = jax.lax.fori_loop(
+            0, self.uq_iters, body,
+            (p0, jnp.zeros_like(p0), jnp.zeros_like(p0)))
+        # the objective is symmetric in sigma and unbounded below at the
+        # residual-zero line; scipy's BFGS on it terminates at essentially
+        # arbitrary nearby points (including negative sigma). The fixed-
+        # iteration solution is deterministic; |sigma| keeps the reward
+        # penalty sign-correct. Cross-checked at the reward level in
+        # tests/test_integration.py.
+        return p[0], jnp.abs(p[1])     # mu_d_opt, sigma_d_opt
+
+    def _reward(self, likelihood, sigma_d_opt):
+        """Safety-masked reward (NerfSimulator.py:159-181, Gaussian branch)."""
+        ps = self.penalty_strength
+        return jnp.clip(likelihood - ps * sigma_d_opt, -ps * 2, ps)
+
+    # ---------------------------------------------------------------- rollout
+    def _sdf_check_interp(self, prev_state, state, step_idx):
+        """4-point interpolated SDF check matching NerfSimulator.step's
+        np.interp-over-history semantics exactly: with N = step_idx + 2
+        states, the last 4 of the 4N-point refinement lie at fractions
+        (j*(N-1)/(4N-1) - (N-2)) of the final segment."""
+        n = step_idx.astype(jnp.float32) + 2.0
+        js = jnp.arange(4, dtype=jnp.float32) + 4.0 * n - 4.0
+        frac = js * (n - 1.0) / (4.0 * n - 1.0) - (n - 2.0)   # [4] in (0,1]
+        pts = prev_state[None, :3] + frac[:, None] * (state[:3]
+                                                      - prev_state[:3])[None]
+        vals = jax.vmap(self._sdf_lookup)(pts)                 # [4]
+        hit = vals < (1.0 / self.granularity)
+        any_hit = jnp.any(hit)
+        first = jnp.argmax(hit)                                # first colliding
+        idx = jnp.where(any_hit, first, 3)
+        return any_hit, vals[idx], pts[idx]
+
+    def _build(self):
+        if getattr(self, "net", None) is None:
+            return super()._build()
+
+        def rollout(z, q_mean, q_std):
+            """z: [T, 12] standard normals; q_mean/std: [T, 12] proposal.
+            Noise is formed in-scan so the reference's reward-adapted std
+            (MonteCarlo.py:49-52) feeds back into the NEXT step's draw."""
+            def step(carry, inp):
+                state, done, reward_prev, step_idx = carry
+                action, z_t, qm, qs = inp
+                adj_std = qs + reward_prev * (0.01 * qs)
+                noise = qm + adj_std * z_t
+                nxt = drone_dynamics(state, action, self.dt, self.g,
+                                     self.mass, self.I, self.invI) + noise
+                nxt = jnp.where(done, state, nxt)
+
+                image, rgbs, sigmas = self._render_obs(nxt)
+                mu_d, sigma_d = self._gaussian_uq(rgbs, sigmas, image)
+
+                loglik = self._log_likelihood(noise)   # p (base) likelihood
+                reward = self._reward(loglik, sigma_d)
+
+                hit, sdf_val, pos = self._sdf_check_interp(state, nxt,
+                                                           step_idx)
+                collided_now = hit & ~done
+                out = (noise, pos, sdf_val, collided_now, loglik, reward_prev,
+                       sigma_d, reward)
+                return ((nxt, done | collided_now, reward, step_idx + 1),
+                        out)
+
+            init = (self.start_state, jnp.asarray(False),
+                    jnp.asarray(0.0, dtype=jnp.float32),
+                    jnp.asarray(0, dtype=jnp.int32))
+            (_, ever, _, _), outs = jax.lax.scan(
+                step, init, (self.actions[:self.steps], z, q_mean, q_std))
+            (noises, positions, sdf_vals, collided, logliks, rewards_prev,
+             sigmas, rewards) = outs
+            return {
+                "noises": noises,                  # [T, 12] (std-adapted)
+                "positions": positions,            # [T, 3]
+                "sdf_vals": sdf_vals,              # [T]
+                "collided": collided,              # [T]
+                "ever_collided": ever,             # []
+                "log_likelihoods": logliks,        # [T]
+                "reward_prev": rewards_prev,       # [T] (CSV column semantics)
+                "sigma_d": sigmas,                 # [T]
+                "reward": rewards,                 # [T]
+                "risk": jnp.min(sdf_vals),
+            }
+
+        batched = jax.vmap(rollout)
+
+        @jax.jit
+        def run(z, q_mean, q_std):
+            return batched(z, q_mean, q_std)
+
+        return run
+
+    def run(self, z, q_mean=None, q_std=None):
+        """z: [n, T, 12] standard normals (or, with q_mean=0/q_std=1 style
+        usage, pre-formed noises)."""
+        z = jnp.asarray(z, dtype=jnp.float32)
+        n = z.shape[0]
+        if q_mean is None:
+            q_mean = jnp.broadcast_to(self.noise_mean, (self.steps, 12))
+        if q_std is None:
+            q_std = jnp.broadcast_to(self.noise_std, (self.steps, 12))
+        q_mean = jnp.broadcast_to(jnp.asarray(q_mean, dtype=jnp.float32),
+                                  (self.steps, 12))
+        q_std = jnp.broadcast_to(jnp.asarray(q_std, dtype=jnp.float32),
+                                 (self.steps, 12))
+        qm = jnp.broadcast_to(q_mean[None], (n,) + q_mean.shape)
+        qs = jnp.broadcast_to(q_std[None], (n,) + q_std.shape)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            z = shard_batch(z, self.mesh, batch_axis=0)
+            qm = shard_batch(qm, self.mesh, batch_axis=0)
+            qs = shard_batch(qs, self.mesh, batch_axis=0)
+        return self._run(z, qm, qs)
+
+    # --------------------------------------------------------------- drivers
+    def monte_carlo(self, key, n_sims: int):
+        """Full-fidelity batched MC sweep; returns outputs + writes nothing
+        (CSV emission in write_mc_csv)."""
+        z = jax.random.normal(key, (n_sims, self.steps, 12))
+        out = self.run(z)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def write_mc_csv(self, out, path):
+        """Reference MC CSV schema (MonteCarlo.py:95-110): [sim, step,
+        noise x12, collisionVal, pos x3, curLogLik, cumLogLik, reward_prev,
+        sigma_d, isCollision]; rows stop at the first collision like the
+        sequential break."""
+        import csv
+        import os as _os
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        n, T = out["collided"].shape
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            for i in range(n):
+                cum = 0.0
+                for t in range(T):
+                    cum += float(out["log_likelihoods"][i, t])
+                    row = [i, t]
+                    row.extend(np.asarray(out["noises"][i, t]).tolist())
+                    row.append(float(out["sdf_vals"][i, t]))
+                    row.extend(np.asarray(out["positions"][i, t]).tolist())
+                    row.append(float(out["log_likelihoods"][i, t]))
+                    row.append(cum)
+                    row.append(float(out["reward_prev"][i, t]))
+                    row.append(float(out["sigma_d"][i, t]))
+                    row.append(bool(out["collided"][i, t]))
+                    w.writerow(row)
+                    if out["collided"][i, t]:
+                        break
+
+    def cem(self, key, m: int, m_elite: int, kmax: int, csv_path=None):
+        """Full-fidelity batched CEM with the reference's 27-column CSV
+        schema (CrossEntropyMethod.py:173-189) and reward-scaled risk
+        adjustment (CEM.py:110-122)."""
+        import csv
+        means = np.broadcast_to(np.asarray(self.noise_mean),
+                                (self.steps, 12)).copy()
+        vars_ = np.broadcast_to(np.asarray(self.noise_std) ** 2,
+                                (self.steps, 12)).copy()
+        p_mean = means.copy()
+        p_var = vars_.copy()
+        history = []
+        for k in range(kmax):
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, (m, self.steps, 12))
+            out = self.run(z, jnp.asarray(means), jnp.sqrt(jnp.asarray(vars_)))
+            out = {kk: np.asarray(v) for kk, v in out.items()}
+
+            # reward-scaled risk (CEM.py:110-122): collisionVal_adj =
+            # risk - reward_prev * 0.01 * risk, per step
+            adj = out["sdf_vals"] - out["reward"] * 0.01 * out["sdf_vals"]
+            risks = np.empty(m)
+            for i in range(m):
+                T_i = self.steps
+                if out["collided"][i].any():
+                    T_i = int(np.argmax(out["collided"][i])) + 1
+                risks[i] = adj[i, :T_i].min()
+
+            if csv_path is not None:
+                os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+                with open(csv_path, "a", newline="") as f:
+                    w = csv.writer(f)
+                    for i in range(m):
+                        ever = bool(out["collided"][i].any())
+                        for t in range(self.steps):
+                            row = [k, i, t]
+                            row.extend(out["noises"][i, t].tolist())
+                            row.append(float(out["reward_prev"][i, t]))
+                            row.append(float(out["sigma_d"][i, t]))
+                            row.append(float(adj[i, t]))
+                            row.extend(out["positions"][i, t].tolist())
+                            lp = self._diag_logpdf(out["noises"][i, t],
+                                                   p_mean[t], p_var[t])
+                            lq = self._diag_logpdf(out["noises"][i, t],
+                                                   means[t], vars_[t])
+                            row.append(float(lp))
+                            row.append(float(lq))
+                            row.append(float(self._diag_logpdf(
+                                out["noises"][i, :t + 1].reshape(-1),
+                                p_mean[:t + 1].reshape(-1),
+                                p_var[:t + 1].reshape(-1))))
+                            row.append(float(self._diag_logpdf(
+                                out["noises"][i, :t + 1].reshape(-1),
+                                means[:t + 1].reshape(-1),
+                                vars_[:t + 1].reshape(-1))))
+                            row.append(bool(out["collided"][i, t]))
+                            row.append(ever)
+                            w.writerow(row)
+                            if out["collided"][i, t]:
+                                break
+
+            elite_idx = np.argsort(risks)[:m_elite]
+            elite = out["noises"][elite_idx]
+            for t in range(self.steps):
+                lp = self._diag_logpdf(elite[:, t], p_mean[t], p_var[t])
+                lq = self._diag_logpdf(elite[:, t], means[t], vars_[t])
+                lw = lp - lq
+                lw = lw - (np.max(lw) + np.log(np.exp(lw - np.max(lw)).sum()))
+                w_ = np.clip(np.exp(lw), 1e-8, None)
+                w_ = w_ / w_.sum()
+                mean_t = (w_[:, None] * elite[:, t]).sum(0)
+                var_t = (w_[:, None] * (elite[:, t] - mean_t) ** 2).sum(0)
+                means[t] = mean_t
+                vars_[t] = np.clip(var_t, 1e-12, 0.1)
+            history.append({
+                "mean_risk": float(risks.mean()),
+                "elite_risk": float(risks[elite_idx].mean()),
+                "collision_rate": float(out["collided"].any(1).mean()),
+            })
+        return {"means": means, "vars": vars_, "history": history}

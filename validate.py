@@ -48,16 +48,19 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
                      n_simulations, opt):
     """TPU-native population mode: one planner init, then the whole
     disturbance population rolls out as a single jitted program
-    (validation/batched.py). Lite semantics: open-loop planner actions, no
-    per-step estimator/UQ (those interleave host processes); risks,
-    collision rates and likelihoods match the sequential loop's dynamics+SDF
-    core."""
-    import csv
-    from nerfsafetyvalidation_tpu.validation.batched import BatchedRolloutEngine
+    (validation/batched.py FullBatchedRolloutEngine): dynamics, the NeRF
+    observation render (reduced resolution), Gaussian-approximation UQ,
+    the safety-masked reward (incl. the reward-adapted noise std of
+    MonteCarlo.py:49-52) and the 4-point SDF collision check all inside the
+    vmapped scan. Open-loop planner actions; estimator/replan stay in the
+    sequential mode (they interleave host cv2 / external processes)."""
+    from nerfsafetyvalidation_tpu.validation.batched import (
+        FullBatchedRolloutEngine)
 
     simulator.reset()  # A* + learn_init (may raise -> restart loop)
     actions = np.asarray(simulator.traj.get_actions())
-    eng = BatchedRolloutEngine(
+    obs_res = int(getattr(opt, "batched_obs_res", 100))
+    eng = FullBatchedRolloutEngine(
         actions=actions, dt=simulator.agent_cfg["dt"],
         g=simulator.agent_cfg["g"], mass=simulator.agent_cfg["mass"],
         I=np.asarray(simulator.agent_cfg["I"], dtype=np.float32),
@@ -65,23 +68,25 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
         sdf_start=[simulator.START_X, simulator.START_Y, simulator.START_Z],
         granularity=simulator.GRANULARITY,
         noise_mean=np.asarray(noise_mean), noise_std=np.asarray(noise_std),
-        start_state=np.asarray(simulator.true_start_state))
+        start_state=np.asarray(simulator.true_start_state),
+        net=simulator.net, params=simulator.params, obs_res=obs_res,
+        render_steps=int(getattr(opt, "num_steps", 64)),
+        base_res=simulator.res_x)
     key = jax.random.PRNGKey(opt.seed)
+    os.makedirs("results", exist_ok=True)
     if stresstest == "Cross Entropy Method":
-        res = eng.cem(key, m=max(n_simulations, 10), m_elite=5, kmax=5)
+        m = max(n_simulations, 10)
+        res = eng.cem(key, m=m, m_elite=5, kmax=5,
+                      csv_path=f"results/collisionValuesBatchedCEM_m{m}"
+                               "melite5k5.csv")
         print(f"Batched CEM history: {res['history']}")
     else:
         res = eng.monte_carlo(key, n_simulations)
-        print(f"Batched MC: collision rate {res['collision_rate']:.4f} over "
+        rate = float(res["collided"].any(axis=1).mean())
+        print(f"Batched MC: collision rate {rate:.4f} over "
               f"{n_simulations} rollouts")
-        os.makedirs("results", exist_ok=True)
-        with open(f"results/collisionValuesBatchedMC_n{n_simulations}.csv",
-                  "w") as f:
-            w = csv.writer(f)
-            for i in range(n_simulations):
-                w.writerow([i, bool(res["ever_collided"][i]),
-                            float(res["risk"][i]),
-                            int(res["first_collision_step"][i])])
+        eng.write_mc_csv(
+            res, f"results/collisionValuesBatchedMC_n{n_simulations}.csv")
     return res
 
 
