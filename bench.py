@@ -58,10 +58,13 @@ def _train_flagship():
         generate_dataset(scene_dir, n_train=N_TRAIN_VIEWS, n_val=2, n_test=4,
                          H=TRAIN_RES, W=TRAIN_RES)
 
+    # density_thresh=10 is the torch-ngp TRAIN default (main_nerf.py):
+    # threshold = min(mean_density, 10) adapts while the field is still
+    # foggy, so the occupancy grid carves from the first updates
     cfg = NetworkConfig(encoding="mipfold", bound=1.0,
                         compute_dtype="bfloat16", num_levels=8, level_dim=4,
                         base_resolution=16, fold_max_scale=128,
-                        grid_ray=True, density_thresh=0.01)
+                        grid_ray=True, density_thresh=10.0)
     net = make_network(cfg)
 
     # provider + trainer knobs (argparse-style attributes)
@@ -130,6 +133,8 @@ def main():
     from nerfsafetyvalidation_tpu.models import renderer as R
     from nerfsafetyvalidation_tpu.data.synthetic import (orbit_pose,
                                                          camera_rays, trace)
+    from nerfsafetyvalidation_tpu.data.rays import (get_rays,
+                                                    nerf_matrix_to_ngp)
 
     net, params, state = _train_flagship()
     fparams = net.to_folded(params)
@@ -140,12 +145,18 @@ def main():
     fx = fy = 0.5 * W / np.tan(0.5 * fov_x)
     intr = (fx, fy, W / 2, H / 2)
     pose = orbit_pose(0.77, 0.52, 2.4)
+    # ground truth is ray-traced in the RAW world frame; the model lives in
+    # the provider's NGP frame (nerf_matrix_to_ngp, provider.py:19-27), so
+    # render rays come from the converted pose — pixel-for-pixel the same
+    # physical camera the training pipeline used
     o_np, d_np = camera_rays(pose, intr, H, W)
     gt_rgb, gt_alpha, _ = trace(o_np, d_np)
     gt = gt_rgb * gt_alpha[..., None] + (1.0 - gt_alpha[..., None])  # white bg
 
-    rays_o = jnp.asarray(o_np.reshape(-1, 3), dtype=jnp.float32)
-    rays_d = jnp.asarray(d_np.reshape(-1, 3), dtype=jnp.float32)
+    pose_ngp = nerf_matrix_to_ngp(pose, scale=1.0, offset=(0.0, 0.0, 0.0))
+    rays = get_rays(jnp.asarray(pose_ngp[None]), intr, H, W)
+    rays_o = rays["rays_o"].reshape(-1, 3)
+    rays_d = rays["rays_d"].reshape(-1, 3)
     n_rays = rays_o.shape[0]
     n_tiles = (n_rays + TILE - 1) // TILE
     pad = n_tiles * TILE - n_rays

@@ -14,8 +14,10 @@ def make_network(cfg, opt=None):
     if getattr(cfg, "encoding", None) == "mipfold":
         from .network_mip import NeRFNetworkMip
         return NeRFNetworkMip(cfg)
-    if opt is not None and (getattr(opt, "ff", False)
-                            or getattr(opt, "tcnn", False)):
+    if opt is not None and getattr(opt, "tcnn", False):
+        from .network_tcnn import NeRFNetworkTCNN
+        return NeRFNetworkTCNN(cfg)
+    if opt is not None and getattr(opt, "ff", False):
         from .network_ff import NeRFNetworkFF
         return NeRFNetworkFF(cfg)
     return NeRFNetwork(cfg)

@@ -83,10 +83,14 @@ def aabb_of(cfg):
 
 def run(net, params, rays_o, rays_d, num_steps: int = 128,
         upsample_steps: int = 128, bg_color=None, perturb: bool = False,
-        key=None, training: bool = False):
-    """rays_o/d: [N, 3]. Returns the reference result dict."""
+        key=None, training: bool = False, aabb=None):
+    """rays_o/d: [N, 3]. Returns the reference result dict. `aabb` overrides
+    the config box (the GUI's aabb_infer sliders, reference gui.py:304)."""
     cfg = net.cfg
-    aabb = aabb_of(cfg)
+    if aabb is None:
+        aabb = aabb_of(cfg)
+    else:
+        aabb = jnp.asarray(aabb, dtype=jnp.float32)
     N = rays_o.shape[0]
 
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)

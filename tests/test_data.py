@@ -115,3 +115,57 @@ class TestTorchConverter:
         convert_checkpoint(src, out)
         state = CheckpointManager.load(out)
         assert state["model"]["sigma_net"][0].shape == (32, 64)
+
+
+class TestFFMLPDepad:
+    """FFMLP flat-weight de-padding (VERDICT r1 missing #8;
+    ffmlp/ffmlp.py:118-122 layout)."""
+
+    def test_roundtrip(self):
+        from nerfsafetyvalidation_tpu.data.convert import (
+            ffmlp_split_weights, ffmlp_pack_weights)
+        rng = np.random.default_rng(0)
+        mats = [rng.normal(size=(32, 64)).astype(np.float32),
+                rng.normal(size=(64, 64)).astype(np.float32),
+                rng.normal(size=(64, 16)).astype(np.float32)]
+        flat = ffmlp_pack_weights(mats, output_dim=16)
+        # num_layers=2 -> 3 matmuls; padded_out == out == 16
+        assert flat.size == 64 * (32 + 64 * 1 + 16)
+        back = ffmlp_split_weights(flat, 32, 16, 64, 2)
+        for a, b in zip(mats, back):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_output_padding_dropped(self):
+        from nerfsafetyvalidation_tpu.data.convert import (
+            ffmlp_split_weights, ffmlp_pack_weights)
+        rng = np.random.default_rng(1)
+        # color net: out 3 -> padded 16
+        mats = [rng.normal(size=(32, 64)).astype(np.float32),
+                rng.normal(size=(64, 64)).astype(np.float32),
+                rng.normal(size=(64, 64)).astype(np.float32),
+                rng.normal(size=(64, 3)).astype(np.float32)]
+        flat = ffmlp_pack_weights(mats, output_dim=3)
+        assert flat.size == 64 * (32 + 64 * 2 + 16)
+        back = ffmlp_split_weights(flat, 32, 3, 64, 3)
+        assert back[-1].shape == (64, 3)
+        np.testing.assert_array_equal(mats[-1], np.asarray(back[-1]))
+
+    def test_state_dict_path(self):
+        from nerfsafetyvalidation_tpu.data.convert import (
+            ffmlp_pack_weights, torch_ff_state_dict_to_params)
+        rng = np.random.default_rng(2)
+        sig = [rng.normal(size=(32, 64)).astype(np.float32),
+               rng.normal(size=(64, 64)).astype(np.float32),
+               rng.normal(size=(64, 16)).astype(np.float32)]
+        col = [rng.normal(size=(32, 64)).astype(np.float32),
+               rng.normal(size=(64, 64)).astype(np.float32),
+               rng.normal(size=(64, 64)).astype(np.float32),
+               rng.normal(size=(64, 3)).astype(np.float32)]
+        sd = {"sigma_net.weights": ffmlp_pack_weights(sig, 16),
+              "color_net.weights": ffmlp_pack_weights(col, 3),
+              "encoder.embeddings": rng.normal(size=(100, 2)).astype(np.float32)}
+        params = torch_ff_state_dict_to_params(sd)
+        assert len(params["sigma_net"]) == 3
+        assert len(params["color_net"]) == 4
+        np.testing.assert_array_equal(np.asarray(params["sigma_net"][2]),
+                                      sig[2])

@@ -197,3 +197,64 @@ class TestRays:
         ngp = nerf_matrix_to_ngp(pose, scale=0.5)
         np.testing.assert_allclose(ngp[:3, 3], [1.0, 1.5, 0.5])
         assert ngp[3, 3] == 1.0
+
+
+class TestNetworkTCNN:
+    """network_tcnn is a real distinct backbone (round-1 flagged the alias):
+    biased MLPs (reference network_tcnn.py:12-24 nn.Linear default) vs the
+    bias-free default backbone."""
+
+    def test_biased_mlps_and_forward(self):
+        import jax
+        import jax.numpy as jnp
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network_tcnn import (
+            NeRFNetworkTCNN)
+
+        cfg = NetworkConfig(num_levels=4, desired_resolution=64, bound=1.0)
+        net = NeRFNetworkTCNN(cfg)
+        params = net.init(jax.random.PRNGKey(0))
+        assert "b" in params["sigma_net"][0] and "w" in params["sigma_net"][0]
+        x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (32, 3)),
+                        dtype=jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, 1.0]] * 32)
+        sigma, rgb = net.apply(params, x, d)
+        assert sigma.shape == (32,) and rgb.shape == (32, 3)
+        assert bool(jnp.all(jnp.isfinite(sigma)))
+        # biases actually matter: zeroing them changes the output
+        import jax.tree_util as jtu
+        p0 = dict(params)
+        p0["sigma_net"] = [{"w": l["w"], "b": jnp.zeros_like(l["b"])}
+                           for l in params["sigma_net"]]
+        s0, _ = net.apply(p0, x, d)
+        assert not np.allclose(np.asarray(sigma), np.asarray(s0))
+
+    def test_sigma_flat_roundtrip_includes_biases(self):
+        import jax
+        import jax.numpy as jnp
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network_tcnn import (
+            NeRFNetworkTCNN)
+
+        cfg = NetworkConfig(num_levels=4, desired_resolution=64, bound=1.0)
+        net = NeRFNetworkTCNN(cfg)
+        params = net.init(jax.random.PRNGKey(1))
+        flat = net.get_sigma_net_flat(params)
+        n_expected = sum(l["w"].size + l["b"].size
+                         for l in params["sigma_net"])
+        assert flat.size == n_expected
+        back = net.set_sigma_net_flat(params, flat)
+        for a, b in zip(params["sigma_net"], back["sigma_net"]):
+            np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]))
+            np.testing.assert_allclose(np.asarray(a["b"]), np.asarray(b["b"]))
+
+    def test_make_network_dispatch(self):
+        from types import SimpleNamespace
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models import make_network
+        from nerfsafetyvalidation_tpu.models.network_tcnn import (
+            NeRFNetworkTCNN)
+
+        cfg = NetworkConfig(num_levels=4, desired_resolution=64)
+        net = make_network(cfg, SimpleNamespace(tcnn=True, ff=False))
+        assert isinstance(net, NeRFNetworkTCNN)

@@ -277,3 +277,56 @@ def test_ema_updates_every_step(tiny_net, tmp_path):
     for a, b in zip(leaves_a, leaves_e):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_clip_guided_rand_pose_training(tiny_net):
+    """The GT-free rand-pose branch (reference utils.py:409-424) must TRAIN
+    — gradients flow from the guidance loss into the NeRF params (round-1
+    flagged this as NotImplementedError-only)."""
+    import jax
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.train.trainer import Trainer
+    from nerfsafetyvalidation_tpu.train.clip_guidance import CLIPGuidance
+    from nerfsafetyvalidation_tpu.config import TrainConfig
+    from nerfsafetyvalidation_tpu.data.rays import get_rays
+
+    net = tiny_net
+    opt = TrainConfig(num_steps=8, upsample_steps=0, workspace=None)
+    tr = Trainer("clip", opt, net, workspace=None)
+
+    guidance = CLIPGuidance(jax.random.PRNGKey(0), patch=8)
+    guidance.set_target_embedding(np.ones(64))
+    tr.clip_loss_fn = guidance
+
+    H = W = 16
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 2.0
+    rays = get_rays(jnp.asarray(pose[None]), (20.0, 20.0, W / 2, H / 2), H, W)
+    data = {"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
+            "H": H, "W": W}
+
+    before = jax.tree_util.tree_map(jnp.array, tr.params)
+    losses = []
+    for _ in range(3):
+        _, loss = tr.train_step(data)
+        losses.append(float(loss))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), before, tr.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0  # params updated
+    assert all(np.isfinite(losses))
+
+
+def test_clip_guidance_embedding_properties():
+    import jax
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.train.clip_guidance import CLIPGuidance
+
+    g = CLIPGuidance(jax.random.PRNGKey(1), patch=8)
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 3, 32, 32)),
+                      dtype=jnp.float32)
+    e = g.encode_image(img)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(e, axis=-1)),
+                               1.0, rtol=1e-4)
+    g.set_target_image(img[0])
+    # the target image itself is the best match
+    assert float(g(img[0:1])) <= float(g(img[1:2]))
