@@ -95,6 +95,19 @@ class NeRFNetworkMip(NeRFNetwork):
             fold_table=enc.get("fold_table"),
             compute_dtype=self.compute_dtype)
 
+    def apply(self, params, x, d):
+        """Full forward; with cfg.fused the two MLPs + activations run as
+        ONE pallas kernel (ops/pallas/render_mlp.py — the reference's
+        kernel_mlp_fused role, ffmlp.cu:332-409)."""
+        if not self.cfg.fused:
+            return super().apply(params, x, d)
+        from ..ops.pallas.render_mlp import fused_sigma_color
+        enc = self.encode_pos(params, x)
+        sh = self.encode_dir(d)
+        return fused_sigma_color(enc, sh, params["sigma_net"],
+                                 params["color_net"],
+                                 compute_dtype=self.compute_dtype)
+
 
 def _replace_encoding(cfg):
     from dataclasses import replace

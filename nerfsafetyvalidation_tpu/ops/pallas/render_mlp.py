@@ -1,0 +1,160 @@
+"""Fused sigma+color render kernel — the encode->MLP->activation megakernel.
+
+Parity target: reference ffmlp/src/ffmlp.cu kernel_mlp_fused (:332-409),
+whose point is keeping every intermediate activation on chip across the
+whole per-sample shading pipeline. This kernel chains BOTH NeRF MLPs —
+sigma net, trunc_exp, geo-feature handoff, color net, sigmoid — in one
+pallas_call per row tile, with two structural tricks:
+
+  * the color net's `concat([sh_dir, geo_feat])` input never materializes:
+    the concat of two linear inputs into a linear layer equals the SUM of
+    two smaller matmuls (sh @ C1[:sh_dim] + geo @ C1[sh_dim:]), so the
+    kernel runs five small MXU matmuls with zero lane shuffling;
+  * inputs stay at their true lane widths (32 / 16) and the output is a
+    compact [N, 8] (sigma, rgb, pad) float32 block — HBM traffic is the
+    unpadded payload, unlike a 128-lane padded pipeline.
+
+Backward: jax.custom_vjp recomputes through the mathematically identical
+XLA path (the reference computes weight grads via CUTLASS split-k GEMMs;
+XLA's fused GEMMs play that role). Non-TPU backends run in interpret mode.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+ROW_BLOCK = 2048
+
+
+def _kernel(enc_ref, sh_ref, w1_ref, w2_ref, c1s_ref, c1g_ref, c2_ref,
+            c3_ref, out_ref):
+    f32 = jnp.float32
+    enc = enc_ref[:]
+    sh = sh_ref[:]
+    # sigma net: enc -> hidden -> (sigma, geo)
+    h = jnp.dot(enc, w1_ref[:], preferred_element_type=f32)
+    h = jax.nn.relu(h).astype(enc.dtype)
+    s = jnp.dot(h, w2_ref[:], preferred_element_type=f32)      # [R, 16]
+    sigma = jnp.exp(jnp.clip(s[:, :1], -15.0, 15.0))           # trunc_exp
+    # c1g's row 0 is zeroed so the full s feeds it without lane slicing
+    geo = jax.nn.relu(jnp.dot(sh, c1s_ref[:], preferred_element_type=f32)
+                      + jnp.dot(s.astype(enc.dtype), c1g_ref[:],
+                                preferred_element_type=f32)).astype(enc.dtype)
+    g2 = jax.nn.relu(jnp.dot(geo, c2_ref[:],
+                             preferred_element_type=f32)).astype(enc.dtype)
+    rgbh = jnp.dot(g2, c3_ref[:], preferred_element_type=f32)  # [R, 8]
+    rgb = jax.nn.sigmoid(rgbh[:, :3])
+    out_ref[:] = jnp.concatenate(
+        [sigma, rgb, jnp.zeros_like(rgbh[:, :4])], axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _forward(enc, sh, mats, interpret=False):
+    B = enc.shape[0]
+    w1, w2, c1s, c1g, c2, c3 = mats
+    grid = (B // ROW_BLOCK,)
+    in_specs = [
+        pl.BlockSpec((ROW_BLOCK, enc.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, sh.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for m in mats]
+    return pl.pallas_call(
+        _kernel, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROW_BLOCK, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+        interpret=interpret,
+    )(enc, sh, *mats)
+
+
+def _prep_mats(sigma_net, color_net, sh_dim, dtype):
+    """Split the color net's first layer into the (sh, geo) pair and pad the
+    final layer's lanes to 8."""
+    w1, w2 = sigma_net
+    c1, c2, c3 = color_net
+    c1s = c1[:sh_dim]
+    # geo feats are sigma-net outputs 1..15; prepend a zero row so the
+    # kernel can feed the WHOLE sigma output (no lane slicing)
+    c1g = jnp.zeros((w2.shape[1], c1.shape[1]), dtype=c1.dtype)
+    c1g = c1g.at[1:1 + c1.shape[0] - sh_dim].set(c1[sh_dim:])
+    c3p = jnp.zeros((c3.shape[0], 8), dtype=c3.dtype).at[:, :3].set(c3)
+    return tuple(m.astype(dtype) for m in (w1, w2, c1s, c1g, c2, c3p))
+
+
+def _xla_ref(enc, sh, sigma_net, color_net, dtype):
+    """Identical math through XLA (backward path + fallback)."""
+    w1, w2 = sigma_net
+    c1, c2, c3 = color_net
+    h = jax.nn.relu(jnp.dot(enc.astype(dtype), w1.astype(dtype),
+                            preferred_element_type=jnp.float32))
+    s = jnp.dot(h.astype(dtype), w2.astype(dtype),
+                preferred_element_type=jnp.float32)
+    sigma = jnp.exp(jnp.clip(s[..., 0], -15.0, 15.0))
+    hin = jnp.concatenate([sh.astype(dtype),
+                           s[..., 1:].astype(dtype)], axis=-1)
+    g = jax.nn.relu(jnp.dot(hin, c1.astype(dtype),
+                            preferred_element_type=jnp.float32))
+    g = jax.nn.relu(jnp.dot(g.astype(dtype), c2.astype(dtype),
+                            preferred_element_type=jnp.float32))
+    rgbh = jnp.dot(g.astype(dtype), c3.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    return sigma, jax.nn.sigmoid(rgbh)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused(enc, sh, sigma_net, color_net, sh_dim, dtype_str, interpret):
+    dtype = jnp.dtype(dtype_str)
+    N = enc.shape[0]
+    Np = (N + ROW_BLOCK - 1) // ROW_BLOCK * ROW_BLOCK
+    encp = jnp.zeros((Np, enc.shape[1]), dtype=dtype).at[:N].set(
+        enc.astype(dtype))
+    shp = jnp.zeros((Np, sh.shape[1]), dtype=dtype).at[:N].set(
+        sh.astype(dtype))
+    mats = _prep_mats(tuple(sigma_net), tuple(color_net), sh_dim, dtype)
+    out = _forward(encp, shp, mats, interpret=interpret)
+    return out[:N, 0], out[:N, 1:4]
+
+
+def _fused_fwd(enc, sh, sigma_net, color_net, sh_dim, dtype_str, interpret):
+    return (_fused(enc, sh, sigma_net, color_net, sh_dim, dtype_str,
+                   interpret),
+            (enc, sh, tuple(sigma_net), tuple(color_net)))
+
+
+def _fused_bwd(sh_dim, dtype_str, interpret, res, g):
+    enc, sh, sigma_net, color_net = res
+
+    def ref(enc, sh, sigma_net, color_net):
+        return _xla_ref(enc, sh, sigma_net, color_net, jnp.dtype(dtype_str))
+
+    _, vjp = jax.vjp(ref, enc, sh, sigma_net, color_net)
+    d_enc, d_sh, d_sn, d_cn = vjp(g)
+    return d_enc, d_sh, d_sn, d_cn
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_sigma_color(enc, sh, sigma_net, color_net,
+                      compute_dtype=jnp.bfloat16, interpret=None):
+    """enc: [N, D_enc]; sh: [N, D_sh]; sigma_net: (W1, W2); color_net:
+    (C1, C2, C3) with C1 rows ordered [sh | geo]. Returns
+    (sigma [N] f32, rgb [N, 3] f32). Differentiable."""
+    if not _HAS_PALLAS:
+        return _xla_ref(enc, sh, tuple(sigma_net), tuple(color_net),
+                        jnp.dtype(compute_dtype))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused(enc, sh, tuple(sigma_net), tuple(color_net),
+                  sh.shape[1], str(jnp.dtype(compute_dtype)), interpret)

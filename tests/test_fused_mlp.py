@@ -94,3 +94,71 @@ def test_network_ff_rejects_bg():
     from nerfsafetyvalidation_tpu.models.network_ff import NeRFNetworkFF
     with _pytest.raises(AssertionError):
         NeRFNetworkFF(NetworkConfig(bg_radius=1.0))
+
+
+class TestFusedSigmaColor:
+    """One-kernel sigma+color render MLP (reference kernel_mlp_fused role,
+    ffmlp.cu:332-409)."""
+
+    def _nets(self):
+        import jax
+        rng = np.random.default_rng(0)
+        sigma_net = [jnp.asarray(rng.normal(0, 0.2, (32, 64)), jnp.float32),
+                     jnp.asarray(rng.normal(0, 0.2, (64, 16)), jnp.float32)]
+        color_net = [jnp.asarray(rng.normal(0, 0.2, (31, 64)), jnp.float32),
+                     jnp.asarray(rng.normal(0, 0.2, (64, 64)), jnp.float32),
+                     jnp.asarray(rng.normal(0, 0.2, (64, 3)), jnp.float32)]
+        enc = jnp.asarray(rng.normal(0, 0.5, (300, 32)), jnp.float32)
+        sh = jnp.asarray(rng.normal(0, 0.5, (300, 16)), jnp.float32)
+        return enc, sh, sigma_net, color_net
+
+    def test_matches_xla_reference(self):
+        from nerfsafetyvalidation_tpu.ops.pallas.render_mlp import (
+            fused_sigma_color, _xla_ref)
+        enc, sh, sn, cn = self._nets()
+        s, rgb = fused_sigma_color(enc, sh, sn, cn,
+                                   compute_dtype=jnp.float32)
+        s_ref, rgb_ref = _xla_ref(enc, sh, tuple(sn), tuple(cn), jnp.float32)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_flow(self):
+        import jax
+        from nerfsafetyvalidation_tpu.ops.pallas.render_mlp import (
+            fused_sigma_color)
+        enc, sh, sn, cn = self._nets()
+
+        def loss(sn, cn, enc):
+            s, rgb = fused_sigma_color(enc, sh, sn, cn,
+                                       compute_dtype=jnp.float32)
+            return jnp.sum(s) + jnp.sum(rgb)
+
+        g_sn, g_cn, g_enc = jax.grad(loss, argnums=(0, 1, 2))(sn, cn, enc)
+        for g in g_sn + g_cn + [g_enc]:
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.abs(g).max()) > 0
+
+    def test_mip_backbone_fused_matches_unfused(self):
+        import jax
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models import make_network
+        from dataclasses import replace
+
+        cfg = NetworkConfig(encoding="mipfold", bound=1.0, num_levels=5,
+                            level_dim=2, base_resolution=4,
+                            fold_max_scale=16, log2_hashmap_size=10)
+        net = make_network(cfg)
+        params = net.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-1, 1, (200, 3)), jnp.float32)
+        d = jnp.asarray(rng.normal(size=(200, 3)), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        s0, r0 = net.apply(params, x, d)
+        net_f = make_network(replace(cfg, fused=True))
+        s1, r1 = net_f.apply(params, x, d)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                                   rtol=2e-4, atol=1e-5)
