@@ -138,6 +138,11 @@ def main():
 
     net, params, state = _train_flagship()
     fparams = net.to_folded(params)
+    # render through the one-kernel fused sigma+color MLP
+    # (ops/pallas/render_mlp.py)
+    from dataclasses import replace as _replace
+    from nerfsafetyvalidation_tpu.models import make_network
+    net = make_network(_replace(net.cfg, fused=True))
 
     # held-out bench pose (not in any training split)
     H = W = int(os.environ.get("BENCH_RES", "800"))
@@ -165,17 +170,12 @@ def main():
         rays_d = jnp.concatenate(
             [rays_d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))])
 
-    @jax.jit
     def render(params, state, ro, rd):
-        def tile(args):
-            o, d = args
-            out = R.run_grid(net, params, state, o, d,
-                             max_samples=MAX_SAMPLES, max_steps=512,
-                             samples_per_hit=2)
-            return out["image"]
-        imgs = jax.lax.map(tile, (ro.reshape(n_tiles, TILE, 3),
-                                  rd.reshape(n_tiles, TILE, 3)))
-        return imgs.reshape(-1, 3)
+        # sorted-shading fast path: empty-sky tiles skip encode+MLP
+        out = R.render_frame_fast(net, params, state, ro, rd, tile=TILE,
+                                  max_samples=MAX_SAMPLES, max_steps=512,
+                                  samples_per_hit=2)
+        return out["image"]
 
     img = render(fparams, state, rays_o, rays_d)
     _fetch1(img)

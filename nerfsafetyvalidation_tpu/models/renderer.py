@@ -508,3 +508,131 @@ def update_extra_state(net, params, state: RendererState, key,
     skip = occupancy_to_skip_grid(new_grid > thresh, grid_size)
     return RendererState(new_grid, bitfield, mean_density,
                          state.iter_density + 1, skip)
+
+
+_FRAME_FAST_CACHE = {}
+
+
+def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
+                      tile: int = 131072, max_samples: int = 16,
+                      max_steps: int = 512, dt_gamma: float = 0.0,
+                      bg_color: float = 1.0, samples_per_hit: int = 2):
+    """Whole-frame fast path: march everything, then shade rays SORTED by
+    their sample count so empty-sky tiles skip the encode+MLP entirely.
+
+    The reference's inference marcher compacts alive rays every n_step
+    (raymarching.cu:706-825) — this is the static-shape analog: one march
+    pass produces per-ray sample counts; rays are permuted so occupied rays
+    cluster at the front, each shade tile runs under a lax.cond that
+    short-circuits tiles with zero samples (backgrounds are a third of a
+    typical frame), and the image unpermutes at the end. Everything runs in
+    ONE jit; rays_o/d: [N, 3] with N padded to a tile multiple by the
+    caller or here.
+    """
+    from ..ops.marching import march_rays, composite_marched
+
+    cfg = net.cfg
+    N0 = rays_o.shape[0]
+    n_tiles = (N0 + tile - 1) // tile
+    pad = n_tiles * tile - N0
+    if pad:
+        rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))], axis=0)
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                      (pad, 3))], axis=0)
+    N = rays_o.shape[0]
+    K = max_samples
+    aabb = aabb_of(cfg)
+
+    # one compiled program per (net, geometry, knobs) — rebuilding the jit
+    # closure per call would re-trace every frame
+    cache_key = (id(net), N, n_tiles, tile, K, max_steps, float(dt_gamma),
+                 float(bg_color), samples_per_hit)
+    hit = _FRAME_FAST_CACHE.get(cache_key)
+    if hit is not None and hit[0] is net:
+        img, depth, agg = hit[1](params, state, rays_o, rays_d)
+        return {"image": img[:N0], "depth": depth[:N0],
+                "aggregated_density": agg[:N0]}
+
+    @jax.jit
+    def render(params, state, rays_o, rays_d):
+        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+
+        def march_tile(args):
+            o, d, nr, fr = args
+            m = march_rays(o, d, nr, fr, state.density_bitfield, cfg.bound,
+                           cfg.cascade, cfg.grid_size, max_samples=K,
+                           max_steps=max_steps, dt_gamma=dt_gamma,
+                           skip_grid=state.skip_grid,
+                           samples_per_hit=samples_per_hit)
+            return m["ts"], m["count"]
+
+        ts, count = jax.lax.map(
+            march_tile, (rays_o.reshape(n_tiles, tile, 3),
+                         rays_d.reshape(n_tiles, tile, 3),
+                         nears.reshape(n_tiles, tile),
+                         fars.reshape(n_tiles, tile)))
+        ts = ts.reshape(N, K)
+        count = count.reshape(N)
+
+        # occupied rays first (one [N, K+4]-row gather via the permutation)
+        order = jnp.argsort(-count)
+        ts_s = jnp.take(ts, order, axis=0)
+        count_s = jnp.take(count, order, axis=0)
+        o_s = jnp.take(rays_o, order, axis=0)
+        d_s = jnp.take(rays_d, order, axis=0)
+        nears_s = jnp.take(nears, order, axis=0)
+        fars_s = jnp.take(fars, order, axis=0)
+
+        dt_min = 2.0 * np.sqrt(3.0) / max_steps
+        dt_max = 2.0 * np.sqrt(3.0) * (2 ** (cfg.cascade - 1)) / cfg.grid_size
+
+        def shade_tile(args):
+            o, d, ts_t, count_t, nr, fr = args
+            slot = jnp.arange(K)
+            mask = slot[None, :] < count_t[:, None]
+
+            def empty(_):
+                img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
+                return img, jnp.zeros((tile,)), jnp.zeros((tile,))
+
+            def shade(_):
+                dts = jnp.clip(ts_t * dt_gamma, dt_min, dt_max) * mask
+                ends = ts_t + dts
+                rs = (ends - jnp.concatenate([nr[:, None], ends[:, :-1]],
+                                             axis=1)) * mask
+                xyzs = jnp.clip(o[:, None, :] + ts_t[..., None] * d[:, None, :],
+                                -cfg.bound, cfg.bound).reshape(-1, 3)
+                dirs = jnp.broadcast_to(d[:, None, :],
+                                        (tile, K, 3)).reshape(-1, 3)
+                sigmas, rgbs = net.apply(params, xyzs, dirs)
+                res = composite_marched(
+                    sigmas.reshape(tile, K), rgbs.reshape(tile, K, 3),
+                    dts, rs, ts_t, mask, nr, fr,
+                    density_scale=cfg.density_scale)
+                img = res["image"] + (1.0 - res["weights_sum"])[..., None] \
+                    * bg_color
+                safe = jnp.where(fr > nr, fr - nr, 1.0)
+                depth = jnp.clip(res["depth"] - nr, 0.0, None) / safe
+                return img, depth, res["aggregated_density"]
+
+            return jax.lax.cond(jnp.any(count_t > 0), shade, empty,
+                                operand=None)
+
+        img, depth, agg = jax.lax.map(
+            shade_tile, (o_s.reshape(n_tiles, tile, 3),
+                         d_s.reshape(n_tiles, tile, 3),
+                         ts_s.reshape(n_tiles, tile, K),
+                         count_s.reshape(n_tiles, tile),
+                         nears_s.reshape(n_tiles, tile),
+                         fars_s.reshape(n_tiles, tile)))
+
+        inv = jnp.argsort(order)
+        return (jnp.take(img.reshape(N, 3), inv, axis=0),
+                jnp.take(depth.reshape(N), inv, axis=0),
+                jnp.take(agg.reshape(N), inv, axis=0))
+
+    _FRAME_FAST_CACHE[cache_key] = (net, render)
+    img, depth, agg = render(params, state, rays_o, rays_d)
+    return {"image": img[:N0], "depth": depth[:N0],
+            "aggregated_density": agg[:N0]}
