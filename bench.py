@@ -91,6 +91,12 @@ def _train_flagship():
         grid_max_samples = 96
         grid_samples_per_hit = 2
         grid_sample_budget_per_ray = 48
+        # once the grid carves (~300 steps) real demand is ~8-16
+        # samples/ray; the phased budget cuts the dominant fwd/bwd hash
+        # rows (trainer._budget_per_ray) -> ~12.7 steps/s steady state
+        grid_warmup_steps = 512
+        grid_budget_after_warmup = 16
+        grid_max_samples_after_warmup = 32
         max_steps = 1024
         dt_gamma = 1.0 / 64
         seed = 0

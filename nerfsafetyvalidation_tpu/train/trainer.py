@@ -148,13 +148,15 @@ class Trainer:
         linear_cs = getattr(opt, "color_space", "srgb") == "linear"
 
         grid_ray = net.cfg.grid_ray
-        grid_max_samples = getattr(opt, "grid_max_samples", 64)
+        grid_max_samples = self._grid_max_samples()
         grid_max_steps = getattr(opt, "max_steps", 1024)
         dt_gamma = getattr(opt, "dt_gamma", 0.0)
         samples_per_hit = getattr(opt, "grid_samples_per_hit", 1)
-        budget_per_ray = getattr(opt, "grid_sample_budget_per_ray", 16)
+        budget_per_ray = self._budget_per_ray()
 
         ema_decay = self.ema_decay
+
+        self._built_budget = (budget_per_ray, grid_max_samples)
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, opt_state, ema_params, key, rays_o, rays_d, images,
@@ -216,8 +218,32 @@ class Trainer:
 
         return step
 
+    def _grid_max_samples(self):
+        """Slot count pairs with the budget phase: fewer slots post-carve
+        cut the [N, K] compaction scatter rows."""
+        warmup = getattr(self.opt, "grid_warmup_steps", 0)
+        if warmup and self.global_step >= warmup:
+            return getattr(self.opt, "grid_max_samples_after_warmup", 32)
+        return getattr(self.opt, "grid_max_samples", 64)
+
+    def _budget_per_ray(self):
+        """Per-ray sample budget for the marched training render. While the
+        occupancy grid is still uncarved (warmup) every ray needs samples
+        across its whole [near, far] span; once it carves, real demand
+        drops to ~8-16 and the tighter budget cuts the dominant fwd/bwd
+        hash-gather rows — the TPU analog of the reference's mean_count-
+        adaptive sample allocation (raymarching.py:196-227)."""
+        warmup = getattr(self.opt, "grid_warmup_steps", 0)
+        if warmup and self.global_step >= warmup:
+            return getattr(self.opt, "grid_budget_after_warmup", 16)
+        return getattr(self.opt, "grid_sample_budget_per_ray", 16)
+
     def train_step(self, data):
         """One optimization step on a collated ray batch."""
+        if self.net.cfg.grid_ray and \
+                (self._budget_per_ray(), self._grid_max_samples()) \
+                != self._built_budget:
+            self._train_step = self._build_train_step()
         self.key, sub = jax.random.split(self.key)
         rays_o, rays_d = data["rays_o"], data["rays_d"]
         if "images" not in data:
