@@ -587,37 +587,49 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
         dt_min = 2.0 * np.sqrt(3.0) / max_steps
         dt_max = 2.0 * np.sqrt(3.0) * (2 ** (cfg.cascade - 1)) / cfg.grid_size
 
+        # count-bucketed shading: after the sort, a tile's max sample count
+        # bounds every ray in it; shade at the smallest sufficient slot
+        # count (encode+MLP points scale with the branch's K)
+        buckets = [k for k in (4, 8) if k < K] + [K]
+
         def shade_tile(args):
             o, d, ts_t, count_t, nr, fr = args
-            slot = jnp.arange(K)
-            mask = slot[None, :] < count_t[:, None]
 
             def empty(_):
                 img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
                 return img, jnp.zeros((tile,)), jnp.zeros((tile,))
 
-            def shade(_):
-                dts = jnp.clip(ts_t * dt_gamma, dt_min, dt_max) * mask
-                ends = ts_t + dts
-                rs = (ends - jnp.concatenate([nr[:, None], ends[:, :-1]],
-                                             axis=1)) * mask
-                xyzs = jnp.clip(o[:, None, :] + ts_t[..., None] * d[:, None, :],
-                                -cfg.bound, cfg.bound).reshape(-1, 3)
-                dirs = jnp.broadcast_to(d[:, None, :],
-                                        (tile, K, 3)).reshape(-1, 3)
-                sigmas, rgbs = net.apply(params, xyzs, dirs)
-                res = composite_marched(
-                    sigmas.reshape(tile, K), rgbs.reshape(tile, K, 3),
-                    dts, rs, ts_t, mask, nr, fr,
-                    density_scale=cfg.density_scale)
-                img = res["image"] + (1.0 - res["weights_sum"])[..., None] \
-                    * bg_color
-                safe = jnp.where(fr > nr, fr - nr, 1.0)
-                depth = jnp.clip(res["depth"] - nr, 0.0, None) / safe
-                return img, depth, res["aggregated_density"]
+            def make_shade(Kb):
+                def shade(_):
+                    ts_b = ts_t[:, :Kb]
+                    mask = jnp.arange(Kb)[None, :] < count_t[:, None]
+                    dts = jnp.clip(ts_b * dt_gamma, dt_min, dt_max) * mask
+                    ends = ts_b + dts
+                    rs = (ends - jnp.concatenate(
+                        [nr[:, None], ends[:, :-1]], axis=1)) * mask
+                    xyzs = jnp.clip(
+                        o[:, None, :] + ts_b[..., None] * d[:, None, :],
+                        -cfg.bound, cfg.bound).reshape(-1, 3)
+                    dirs = jnp.broadcast_to(d[:, None, :],
+                                            (tile, Kb, 3)).reshape(-1, 3)
+                    sigmas, rgbs = net.apply(params, xyzs, dirs)
+                    res = composite_marched(
+                        sigmas.reshape(tile, Kb), rgbs.reshape(tile, Kb, 3),
+                        dts, rs, ts_b, mask, nr, fr,
+                        density_scale=cfg.density_scale)
+                    img = res["image"] \
+                        + (1.0 - res["weights_sum"])[..., None] * bg_color
+                    safe = jnp.where(fr > nr, fr - nr, 1.0)
+                    depth = jnp.clip(res["depth"] - nr, 0.0, None) / safe
+                    return img, depth, res["aggregated_density"]
+                return shade
 
-            return jax.lax.cond(jnp.any(count_t > 0), shade, empty,
-                                operand=None)
+            mx = jnp.max(count_t)
+            idx = (mx > 0).astype(jnp.int32)
+            for b in buckets[:-1]:
+                idx = idx + (mx > b).astype(jnp.int32)
+            return jax.lax.switch(idx, [empty] + [make_shade(b)
+                                                  for b in buckets], None)
 
         img, depth, agg = jax.lax.map(
             shade_tile, (o_s.reshape(n_tiles, tile, 3),

@@ -209,7 +209,14 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                  obs_res=100, render_steps=64, base_intrinsics=None,
                  base_res=800, uq_iters=100, uq_lr=1e-2,
                  penalty_strength=36.0, mesh=None, renderer_state=None,
-                 grid_max_samples=16):
+                 grid_max_samples=16, obs_group=1):
+        # obs_group: sims whose observation renders run CONCURRENTLY (vmap);
+        # groups run serially via lax.map. The render is the memory-heavy
+        # part of a step (encode intermediates scale with rays*samples*sims),
+        # so group=1 bounds it to one sim's render while the dynamics / UQ /
+        # reward / SDF stay population-vectorized. Raise it (<= m) for small
+        # observations or when sharding the population over a mesh.
+        self.obs_group = int(obs_group)
         self.net = net
         self.params = params
         self.obs_res = int(obs_res)
@@ -335,61 +342,80 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
     def _build(self):
         if getattr(self, "net", None) is None:
             return super()._build()
+        G = max(1, self.obs_group)
 
-        def rollout(z, q_mean, q_std):
-            """z: [T, 12] standard normals; q_mean/std: [T, 12] proposal.
-            Noise is formed in-scan so the reference's reward-adapted std
-            (MonteCarlo.py:49-52) feeds back into the NEXT step's draw."""
+        def run_impl(z, q_mean, q_std):
+            """z/q_mean/q_std: [m, T, 12]. Population-level scan over steps:
+            dynamics/UQ/reward/SDF vectorize over the whole population; the
+            observation renders evaluate obs_group sims at a time (see
+            __init__). Noise is formed in-scan so the reference's
+            reward-adapted std (MonteCarlo.py:49-52) feeds back into the
+            NEXT step's draw."""
+            m = z.shape[0]
+            zT = jnp.swapaxes(z, 0, 1)                    # [T, m, 12]
+            qmT = jnp.swapaxes(q_mean, 0, 1)
+            qsT = jnp.swapaxes(q_std, 0, 1)
+            start = jnp.broadcast_to(self.start_state, (m, 12))
+
+            n_groups = -(-m // G)
+            pad = n_groups * G - m
+
+            def render_uq(states):                        # [m, 12]
+                sp = jnp.concatenate(
+                    [states, jnp.zeros((pad, 12), states.dtype)], axis=0) \
+                    if pad else states
+
+                def one(s):
+                    image, rgbs, sigmas = self._render_obs(s)
+                    return self._gaussian_uq(rgbs, sigmas, image)
+
+                mu, sd = jax.lax.map(jax.vmap(one),
+                                     sp.reshape(n_groups, G, 12))
+                return mu.reshape(-1)[:m], sd.reshape(-1)[:m]
+
             def step(carry, inp):
-                state, done, reward_prev, step_idx = carry
+                states, done, reward_prev, t = carry
                 action, z_t, qm, qs = inp
-                adj_std = qs + reward_prev * (0.01 * qs)
+                adj_std = qs + reward_prev[:, None] * (0.01 * qs)
                 noise = qm + adj_std * z_t
-                nxt = drone_dynamics(state, action, self.dt, self.g,
-                                     self.mass, self.I, self.invI) + noise
-                nxt = jnp.where(done, state, nxt)
+                nxt = jax.vmap(
+                    lambda st: drone_dynamics(st, action, self.dt, self.g,
+                                              self.mass, self.I,
+                                              self.invI))(states) + noise
+                nxt = jnp.where(done[:, None], states, nxt)
 
-                image, rgbs, sigmas = self._render_obs(nxt)
-                mu_d, sigma_d = self._gaussian_uq(rgbs, sigmas, image)
-
-                loglik = self._log_likelihood(noise)   # p (base) likelihood
+                mu_d, sigma_d = render_uq(nxt)
+                loglik = jax.vmap(self._log_likelihood)(noise)
                 reward = self._reward(loglik, sigma_d)
 
-                hit, sdf_val, pos = self._sdf_check_interp(state, nxt,
-                                                           step_idx)
+                hit, sdf_val, pos = jax.vmap(
+                    lambda p, st: self._sdf_check_interp(p, st, t))(states,
+                                                                    nxt)
                 collided_now = hit & ~done
-                out = (noise, pos, sdf_val, collided_now, loglik, reward_prev,
-                       sigma_d, reward)
-                return ((nxt, done | collided_now, reward, step_idx + 1),
-                        out)
+                out = (noise, pos, sdf_val, collided_now, loglik,
+                       reward_prev, sigma_d, reward)
+                return ((nxt, done | collided_now, reward, t + 1), out)
 
-            init = (self.start_state, jnp.asarray(False),
-                    jnp.asarray(0.0, dtype=jnp.float32),
+            init = (start, jnp.zeros((m,), bool), jnp.zeros((m,)),
                     jnp.asarray(0, dtype=jnp.int32))
             (_, ever, _, _), outs = jax.lax.scan(
-                step, init, (self.actions[:self.steps], z, q_mean, q_std))
+                step, init, (self.actions[:self.steps], zT, qmT, qsT))
             (noises, positions, sdf_vals, collided, logliks, rewards_prev,
-             sigmas, rewards) = outs
+             sigmas, rewards) = [jnp.swapaxes(o, 0, 1) for o in outs]
             return {
-                "noises": noises,                  # [T, 12] (std-adapted)
-                "positions": positions,            # [T, 3]
-                "sdf_vals": sdf_vals,              # [T]
-                "collided": collided,              # [T]
-                "ever_collided": ever,             # []
-                "log_likelihoods": logliks,        # [T]
-                "reward_prev": rewards_prev,       # [T] (CSV column semantics)
-                "sigma_d": sigmas,                 # [T]
-                "reward": rewards,                 # [T]
-                "risk": jnp.min(sdf_vals),
+                "noises": noises,                  # [m, T, 12] (std-adapted)
+                "positions": positions,            # [m, T, 3]
+                "sdf_vals": sdf_vals,              # [m, T]
+                "collided": collided,              # [m, T]
+                "ever_collided": ever,             # [m]
+                "log_likelihoods": logliks,        # [m, T]
+                "reward_prev": rewards_prev,       # [m, T] (CSV semantics)
+                "sigma_d": sigmas,                 # [m, T]
+                "reward": rewards,                 # [m, T]
+                "risk": jnp.min(sdf_vals, axis=1),
             }
 
-        batched = jax.vmap(rollout)
-
-        @jax.jit
-        def run(z, q_mean, q_std):
-            return batched(z, q_mean, q_std)
-
-        return run
+        return jax.jit(run_impl)
 
     def run(self, z, q_mean=None, q_std=None):
         """z: [n, T, 12] standard normals (or, with q_mean=0/q_std=1 style
