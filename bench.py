@@ -180,7 +180,9 @@ def main():
         # sorted-shading fast path: empty-sky tiles skip encode+MLP
         out = R.render_frame_fast(net, params, state, ro, rd, tile=TILE,
                                   max_samples=MAX_SAMPLES, max_steps=512,
-                                  samples_per_hit=2)
+                                  samples_per_hit=2,
+                                  dt_gamma=float(os.environ.get(
+                                      "BENCH_DT_GAMMA", str(1.0 / 64))))
         return out["image"]
 
     img = render(fparams, state, rays_o, rays_d)
