@@ -8,9 +8,16 @@ checkpoint (which drops the density grid to save space, :989-991);
 `load_checkpoint` resolves latest/best/scratch/explicit-path and tolerates
 missing keys (non-strict load).
 
-Format: a pickle of numpy-ified pytrees (model params, optax state, EMA).
-A converter for the reference's torch .pth files lives in data/convert.py.
+Format: a pickle of numpy-ified pytrees (model params, optax state, EMA),
+stamped with `format_version`. An optional orbax backend
+(CheckpointManager(backend="orbax")) stores the array pytrees through
+orbax.checkpoint.PyTreeCheckpointer (directory checkpoints with a JSON
+sidecar for scalars) — same resolve/load surface, production-grade
+sharded-array support. A converter for the reference's torch .pth files
+lives in data/convert.py.
 """
+
+FORMAT_VERSION = 2
 
 import glob
 import os
@@ -31,21 +38,29 @@ def _to_jax(tree):
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_path: str, name: str = "ngp", max_keep: int = 2):
+    def __init__(self, ckpt_path: str, name: str = "ngp", max_keep: int = 2,
+                 backend: str = "pickle"):
+        if backend not in ("pickle", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
+        self.backend = backend
         self.ckpt_path = ckpt_path
         self.name = name
         self.max_keep = max_keep
         os.makedirs(ckpt_path, exist_ok=True)
-        self.best_path = os.path.join(ckpt_path, f"{self.name}.ckpt")
+        ext = ".ckpt" if backend == "pickle" else ".orbax"
+        self.best_path = os.path.join(ckpt_path, f"{self.name}{ext}")
         self.saved = []
 
     def _file(self, epoch: int) -> str:
-        return os.path.join(self.ckpt_path, f"{self.name}_ep{epoch:04d}.ckpt")
+        ext = ".ckpt" if self.backend == "pickle" else ".orbax"
+        return os.path.join(self.ckpt_path,
+                            f"{self.name}_ep{epoch:04d}{ext}")
 
     def save(self, epoch, global_step, params, stats=None, opt_state=None,
              ema_params=None, renderer_state=None, full=False, best=False,
              best_result=None):
         state = {
+            "format_version": FORMAT_VERSION,
             "epoch": int(epoch),
             "global_step": int(global_step),
             "stats": stats or {},
@@ -67,8 +82,14 @@ class CheckpointManager:
             self.saved.append(path)
             while len(self.saved) > self.max_keep:
                 old = self.saved.pop(0)
-                if os.path.exists(old):
+                if os.path.isdir(old):
+                    import shutil
+                    shutil.rmtree(old, ignore_errors=True)
+                elif os.path.exists(old):
                     os.remove(old)
+        if self.backend == "orbax":
+            self._save_orbax(path, state)
+            return path
         # atomic write: a kill mid-save must not leave a truncated file that
         # poisons the next 'latest' resume
         tmp = path + ".tmp"
@@ -76,6 +97,26 @@ class CheckpointManager:
             pickle.dump(state, f)
         os.replace(tmp, path)
         return path
+
+    @staticmethod
+    def _save_orbax(path, state):
+        import json
+        import shutil
+        import orbax.checkpoint as ocp
+
+        arrays = {k: state[k] for k in ("model", "optimizer", "ema",
+                                        "renderer_state") if k in state}
+        meta = {k: v for k, v in state.items() if k not in arrays}
+        tmp = path + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.join(tmp, "arrays"), arrays)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
 
     def resolve(self, which: str = "latest"):
         """Return a checkpoint path or None (utils.py:1000-1024 logic)."""
@@ -85,11 +126,16 @@ class CheckpointManager:
             return self.best_path if os.path.exists(self.best_path) \
                 else self.resolve("latest")
         if which in ("latest", "latest_model"):
+            ext = ".ckpt" if self.backend == "pickle" else ".orbax"
             ckpts = sorted(glob.glob(
-                os.path.join(self.ckpt_path, f"{self.name}_ep*.ckpt")))
+                os.path.join(self.ckpt_path, f"{self.name}_ep*{ext}")))
             # skip unreadable (e.g. truncated) files, newest first
             for path in reversed(ckpts):
                 try:
+                    if os.path.isdir(path):
+                        if os.path.exists(os.path.join(path, "meta.json")):
+                            return path
+                        raise IOError("incomplete orbax checkpoint")
                     with open(path, "rb") as f:
                         pickle.load(f)
                     return path
@@ -100,8 +146,17 @@ class CheckpointManager:
 
     @staticmethod
     def load(path: str):
-        with open(path, "rb") as f:
-            state = pickle.load(f)
+        if os.path.isdir(path):  # orbax backend
+            import json
+            import orbax.checkpoint as ocp
+            ckptr = ocp.PyTreeCheckpointer()
+            arrays = ckptr.restore(os.path.join(path, "arrays"))
+            with open(os.path.join(path, "meta.json")) as f:
+                state = json.load(f)
+            state.update(arrays)
+        else:
+            with open(path, "rb") as f:
+                state = pickle.load(f)
         for k in ("model", "optimizer", "ema", "renderer_state"):
             if k in state:
                 state[k] = _to_jax(state[k])

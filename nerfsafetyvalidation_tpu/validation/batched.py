@@ -287,6 +287,12 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         d_mean = jnp.mean(d)
         d_std = jnp.std(d)
 
+        # a density-collapsed field gives S_c2d2 ~ 0: the objective blows
+        # up to ~(r_mean^2 / 1e-30) and its gradients overflow; scipy on the
+        # same stats terminates near the init, so the degenerate case
+        # returns the init here too
+        degenerate = S_c2d2 < 1e-18
+
         def obj(p):
             mu, sig = p[0], p[1]
             s2 = jnp.maximum(S_c2d2 * sig ** 2, 1e-30)
@@ -308,6 +314,7 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         p, _, _ = jax.lax.fori_loop(
             0, self.uq_iters, body,
             (p0, jnp.zeros_like(p0), jnp.zeros_like(p0)))
+        p = jnp.where(degenerate | ~jnp.all(jnp.isfinite(p)), p0, p)
         # the objective is symmetric in sigma and unbounded below at the
         # residual-zero line; scipy's BFGS on it terminates at essentially
         # arbitrary nearby points (including negative sigma). The fixed-

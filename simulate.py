@@ -124,7 +124,11 @@ def main():
         "fade_out_sharpness": pcfg["fade_out_sharpness"],
         "epochs_update": pcfg["epochs_update"],
         "start_state": start_state, "end_state": end_state,
-        "exp_name": opt.workspace,
+        # basename only: the reference passes opt.workspace verbatim
+        # (reference validate.py:252), but "paths" / Path(abs_workspace)
+        # resolves to the ABSOLUTE path itself, and the simulator's
+        # clear_workspace would then rmtree the checkpoint workspace
+        "exp_name": os.path.basename(os.path.normpath(opt.workspace)),
         "I": jnp.asarray(agent_cfg["I"], dtype=jnp.float32),
         "g": agent_cfg["g"], "mass": agent_cfg["mass"],
         "body": np.asarray(agent_cfg["body_lims"]),

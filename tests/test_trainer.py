@@ -330,3 +330,25 @@ def test_clip_guidance_embedding_properties():
     g.set_target_image(img[0])
     # the target image itself is the best match
     assert float(g(img[0:1])) <= float(g(img[1:2]))
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Optional orbax backend (ROADMAP #10): directory checkpoints with the
+    same save/resolve/load surface and format versioning."""
+    import jax
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.train.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path), name="t", max_keep=2,
+                           backend="orbax")
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    for ep in (1, 2, 3):
+        cm.save(ep, ep * 10, params, stats={"loss": [0.1]}, full=True)
+    import os
+    names = sorted(os.listdir(tmp_path))
+    assert "t_ep0001.orbax" not in names        # rolling window
+    assert "t_ep0003.orbax" in names
+    st = CheckpointManager.load(cm.resolve("latest"))
+    assert st["epoch"] == 3 and st["format_version"] == 2
+    np.testing.assert_array_equal(np.asarray(st["model"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))

@@ -206,3 +206,22 @@ def test_weighted_mean_cov_degenerate_single_weight():
         mean, cov = _weighted_mean_cov(samples, weights)
     assert np.isfinite(mean).all() and np.isfinite(cov).all()
     np.testing.assert_allclose(mean, [3.0, 4.0])
+
+
+def test_full_engine_uq_degenerate_density_finite():
+    """A density-collapsed NeRF (S_c2d2 ~ 0) must not poison the batched
+    rollout with NaN sigma/reward (found by the validate.py --batched
+    TPU drive on a collapsed checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.validation.batched import (
+        FullBatchedRolloutEngine)
+
+    eng = FullBatchedRolloutEngine.__new__(FullBatchedRolloutEngine)
+    eng.uq_iters = 50
+    eng.uq_lr = 1e-2
+    rgbs = jnp.full((16, 4, 3), 0.5)
+    sigmas = jnp.zeros((16, 4))
+    image = jnp.ones((16, 3))
+    mu, sd = eng._gaussian_uq(rgbs, sigmas, image)
+    assert np.isfinite(float(mu)) and np.isfinite(float(sd))
