@@ -49,12 +49,20 @@ def _mip_from_dt(dt, grid_size, cascade):
 def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
                cascade: int, grid_size: int = 128, max_samples: int = 64,
                max_steps: int = 1024, dt_gamma: float = 0.0, perturb=None,
-               skip_grid=None, samples_per_hit: int = 1):
+               skip_grid=None, samples_per_hit: int = 1, fixed_iters=None,
+               resume_carry=None, return_carry: bool = False):
     """Generate up to `max_samples` occupied-space samples per ray.
 
     Returns dict: xyzs [N, K, 3], deltas [N, K] (dt), rs [N, K] (depth step,
     the reference's deltas[...,1]), ts [N, K], mask [N, K] bool, count [N].
-    """
+
+    Phased mode (renderer.render_frame_fast): `fixed_iters` runs exactly
+    that many body iterations as a lax.scan (no lockstep early exit — the
+    body is a no-op for finished rays) and the carry can be handed back via
+    return_carry; `resume_carry` continues a previous phase's (t, count,
+    ts) — rays may be PERMUTED between phases as long as their carry rows
+    travel with them, which is how the sorted phase-2 march lets
+    whole-tile while_loops exit at zero iterations."""
     N = rays_o.shape[0]
     K = max_samples
     H = grid_size
@@ -141,20 +149,35 @@ def march_rays(rays_o, rays_d, nears, fars, bitfield, bound: float,
         t = jnp.where(active, jnp.where(emit, new_t, skip_t), t)
         return (t, count, ts, it + 1)
 
-    init = (t0,
-            jnp.zeros((N,), dtype=jnp.int32),
-            jnp.zeros((N, K)),
-            jnp.asarray(0, dtype=jnp.int32))
-    t, count, ts, _ = jax.lax.while_loop(cond, body, init)
+    if resume_carry is not None:
+        t_in, count_in, ts_in = resume_carry
+        init = (t_in, count_in, ts_in, jnp.asarray(0, dtype=jnp.int32))
+    else:
+        init = (t0,
+                jnp.zeros((N,), dtype=jnp.int32),
+                jnp.zeros((N, K)),
+                jnp.asarray(0, dtype=jnp.int32))
+    if fixed_iters is not None:
+        def scan_body(carry, _):
+            return body(carry), None
+        (t, count, ts, _), _ = jax.lax.scan(scan_body, init, None,
+                                            length=fixed_iters)
+    else:
+        t, count, ts, _ = jax.lax.while_loop(cond, body, init)
 
     mask = slot_iota[None, :] < count[:, None]
     dts = jnp.clip(ts * dt_gamma, dt_min, dt_max) * mask
     ends = ts + dts
+    # rs telescopes from the PER-RAY march start; under resume the original
+    # t0 is nears (phase carries never change a ray's start)
     rs = (ends - jnp.concatenate([t0[:, None], ends[:, :-1]], axis=1)) * mask
     xyzs = jnp.clip(rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :],
                     -bound, bound)
-    return {"xyzs": xyzs, "deltas": dts, "rs": rs, "ts": ts, "mask": mask,
-            "count": count}
+    out = {"xyzs": xyzs, "deltas": dts, "rs": rs, "ts": ts, "mask": mask,
+           "count": count}
+    if return_carry:
+        return out, (t, count, ts)
+    return out
 
 
 def compact_samples(mask, budget: int):
