@@ -60,6 +60,35 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
     simulator.reset()  # A* + learn_init (may raise -> restart loop)
     actions = np.asarray(simulator.traj.get_actions())
     obs_res = int(getattr(opt, "batched_obs_res", 100))
+    if getattr(simulator, "net", None) is None:
+        # BlenderSimulator has no NeRF to render in-scan: run the
+        # dynamics+SDF+likelihood core engine with the round-1 summary CSV
+        from nerfsafetyvalidation_tpu.validation.batched import (
+            BatchedRolloutEngine)
+        import csv
+        print("[WARN] batched rollouts without a NeRF observation model: "
+              "running the dynamics+SDF core only")
+        eng = BatchedRolloutEngine(
+            actions=actions, dt=simulator.agent_cfg["dt"],
+            g=simulator.agent_cfg["g"], mass=simulator.agent_cfg["mass"],
+            I=np.asarray(simulator.agent_cfg["I"], dtype=np.float32),
+            sdf=simulator.sdf,
+            sdf_start=[simulator.START_X, simulator.START_Y,
+                       simulator.START_Z],
+            granularity=simulator.GRANULARITY,
+            noise_mean=np.asarray(noise_mean),
+            noise_std=np.asarray(noise_std),
+            start_state=np.asarray(simulator.true_start_state))
+        res = eng.monte_carlo(jax.random.PRNGKey(opt.seed), n_simulations)
+        os.makedirs("results", exist_ok=True)
+        with open(f"results/collisionValuesBatchedMC_n{n_simulations}.csv",
+                  "w") as f:
+            w = csv.writer(f)
+            for i in range(n_simulations):
+                w.writerow([i, bool(res["ever_collided"][i]),
+                            float(res["risk"][i]),
+                            int(res["first_collision_step"][i])])
+        return res
     eng = FullBatchedRolloutEngine(
         actions=actions, dt=simulator.agent_cfg["dt"],
         g=simulator.agent_cfg["g"], mass=simulator.agent_cfg["mass"],
