@@ -231,3 +231,37 @@ def test_batched_full_engine_matches_sequential(stack, tmp_path, monkeypatch):
     rows = list(_csv.reader(open(tmp_path / "cem.csv")))
     assert len(rows[0]) == 27  # reference 27-column schema (CEM.py:173-189)
     assert len(res["history"]) == 1
+
+
+def test_nerf_simulator_with_mipfold_backbone(tmp_path, monkeypatch):
+    """The flagship mip-fold backbone composes with the full validation
+    stack (planner/estimator/UQ consume its density/render closures)."""
+    from nerfsafetyvalidation_tpu.models import make_network
+
+    monkeypatch.chdir(tmp_path)
+    cfg = NetworkConfig(encoding="mipfold", bound=1.0, num_levels=5,
+                        level_dim=2, base_resolution=4, fold_max_scale=16,
+                        log2_hashmap_size=10)
+    net = make_network(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    intrinsics = (30.0, 30.0, RES / 2, RES / 2)
+
+    def get_rays_fn(pose):
+        return get_rays(pose, intrinsics, RES, RES)
+
+    def render_fn(rays_o, rays_d):
+        return R.render(net, params, rays_o, rays_d, staged=False,
+                        bg_color=1.0, num_steps=8, upsample_steps=0)
+
+    rot = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+    def density_fn(x):
+        return 1e-3 * net.density(params, x.reshape((-1, 3)) @ rot)[
+            "sigma"].reshape(x.shape[:-1])
+
+    stack = (net, params, get_rays_fn, render_fn, density_fn)
+    sim = make_simulator(stack, tmp_path, steps=2)
+    sim.reset()
+    collided, val, pos, sigma, trace = sim.step(jnp.full(12, 0.001))
+    assert np.isfinite(val) and np.isfinite(sigma)
+    assert isinstance(collided, (bool, np.bool_))
