@@ -76,6 +76,11 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
                         help="occupancy-marched + cell-table rendering for "
                              "the validation loop's observation renders "
                              "(builds the density grid from the checkpoint)")
+    parser.add_argument("--fixed_horizon", action="store_true",
+                        help="constant-knot receding-horizon replanning: "
+                             "one compiled replan block for the whole "
+                             "sweep instead of one compile per horizon "
+                             "length (TPU-native MPC mode)")
     parser.add_argument("--batched_obs_res", type=int, default=100,
                         help="observation render resolution inside the "
                              "batched rollout scan")

@@ -125,6 +125,16 @@ class Planner:
         self.epochs_update = cfg["epochs_update"]
         self.fade_out_epoch = cfg["fade_out_epoch"]
         self.fade_out_sharpness = cfg["fade_out_sharpness"]
+        # fixed-horizon MPC (opt-in, TPU-native): the reference drops one
+        # knot per step (quad_plot.py:302-308), shrinking the decision
+        # shape and forcing a fresh replan compile at EVERY horizon length
+        # (~1 min/step through the remote-compile tunnel — 97% of a
+        # sequential validation step, measured). fixed_horizon keeps the
+        # knot count constant by shifting the horizon (classic receding-
+        # horizon MPC: same start/end boundary conditions, constant
+        # discretization), so one compiled replan block serves the whole
+        # sweep. Semantics deviation documented in COMPONENTS.md.
+        self.fixed_horizon = bool(cfg.get("fixed_horizon", False))
         self.mass = float(cfg["mass"])
         self.J = jnp.asarray(cfg["I"], dtype=jnp.float32)
         self.g = jnp.asarray([0.0, 0.0, -float(cfg["g"])])
@@ -319,9 +329,15 @@ class Planner:
         """Shift the horizon after a measurement (quad_plot.py:302-308)."""
         _, _, _, _, _, _, actions = self.calc_everything()
         self.start_state = jnp.asarray(measured_state, dtype=jnp.float32)
-        self.states = self.states[1:, :]
+        if self.fixed_horizon:
+            # constant knot count: consume the first knot, duplicate the
+            # last — shapes (and the compiled replan block) are preserved
+            self.states = jnp.concatenate(
+                [self.states[1:, :], self.states[-1:, :]], axis=0)
+        else:
+            self.states = self.states[1:, :]
+            self._opt_block = None  # shapes changed
         self.initial_accel = actions[1:3, 0]
-        self._opt_block = None  # shapes changed
 
     # ------------------------------------------------------------------- IO
     def save_poses(self, filename):

@@ -257,3 +257,45 @@ class TestEstimator:
         g = jax.grad(lambda s: est.measurement_fn(
             s, jnp.zeros(12), jnp.eye(12), target, batch))(jnp.zeros(12) + 0.01)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_planner_fixed_horizon_keeps_shapes_and_converges():
+    """fixed_horizon MPC mode: update_state preserves the decision shape
+    (no recompile per step) and replans still pull the trajectory toward
+    the goal."""
+    import jax
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.nav.planner import Planner
+    from nerfsafetyvalidation_tpu.nav.math_utils import vec_to_rot_matrix
+
+    sp = jnp.asarray([-0.5, -0.5, 0.1])
+    ep = jnp.asarray([0.5, 0.5, 0.1])
+    R0 = vec_to_rot_matrix(jnp.zeros(3)).reshape(-1)
+    z3 = jnp.zeros(3)
+    start = jnp.concatenate([sp, z3, R0, z3])
+    end = jnp.concatenate([ep, z3, R0, z3])
+    cfg = {"T_final": 2.0, "steps": 6, "lr": 1e-2, "epochs_init": 10,
+           "epochs_update": 5, "fade_out_epoch": 0,
+           "fade_out_sharpness": 10, "mass": 1.0, "g": 10.0,
+           "I": np.eye(3).tolist(),
+           "body": np.asarray([[-0.05, 0.05]] * 3), "nbins": [2, 2, 2],
+           "fixed_horizon": True}
+
+    def density_fn(x):
+        return jnp.zeros(x.shape[:-1])
+
+    p = Planner(start, end, cfg, density_fn)
+    p.basefolder = None
+    p.learn_init()
+    shape0 = p.states.shape
+    block0 = p._opt_block
+    for _ in range(3):
+        a = p.get_next_action()
+        full = p.get_full_states()[0]
+        p.update_state(full)
+        p.learn_update(1)
+    assert p.states.shape == shape0            # constant knots
+    assert p._opt_block is block0              # SAME compiled block
+    # trajectory end stays pinned at the goal
+    pos = np.asarray(p.get_full_states()[:, :3])
+    assert np.linalg.norm(pos[-1] - np.asarray(ep)) < 0.2

@@ -226,6 +226,7 @@ def main():
         # resolves to the ABSOLUTE path itself, and the simulator's
         # clear_workspace would then rmtree the checkpoint workspace
         "exp_name": os.path.basename(os.path.normpath(opt.workspace)),
+        "fixed_horizon": getattr(opt, "fixed_horizon", False),
         "I": jnp.asarray(agent_cfg["I"], dtype=jnp.float32),
         "g": agent_cfg["g"], "mass": agent_cfg["mass"],
         "body": np.asarray(agent_cfg["body_lims"]),
