@@ -57,6 +57,15 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
     from nerfsafetyvalidation_tpu.validation.batched import (
         FullBatchedRolloutEngine)
 
+    if getattr(simulator, "uq_method", None) not in (
+            None, "Gaussian Approximation"):
+        # the in-scan UQ is the Gaussian approximation; Bayesian-Laplace
+        # needs per-step MAP fits of the sigma-net (sequential path only)
+        raise SystemExit(
+            f"--batched_rollouts runs {simulator.uq_method!r} only in the "
+            "sequential loop; rerun without --batched_rollouts (the "
+            "batched engine's in-scan UQ is the Gaussian approximation)")
+
     simulator.reset()  # A* + learn_init (may raise -> restart loop)
     actions = np.asarray(simulator.traj.get_actions())
     obs_res = int(getattr(opt, "batched_obs_res", 100))
