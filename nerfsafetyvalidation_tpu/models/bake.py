@@ -1,0 +1,133 @@
+"""Bake a trained field into a compute-dense student for inference.
+
+Why this exists (BENCH_NOTES "ceiling proof"): every random-row gather
+mechanism on this chip floors at ~15-25 ns/row while the MXU idles, so a
+hash/fold-table field — 2 HBM rows per sample — caps single-chip render
+throughput at a few M rays/s no matter how the gathers are arranged. A
+frequency-encoded MLP evaluates with ZERO gathers: ~30-200k MACs/sample
+rides the 200 TFLOPs bf16 MXU instead of the 17 GB/s gather engine.
+
+This module distills the trained flagship (teacher — any backbone with
+`apply(params, x, d) -> (sigma, rgb)`) into such a student by direct
+function regression: sample points (half uniform in the bound, half
+jittered inside occupied grid cells so the surface shell dominates),
+regress log1p(sigma) everywhere and rgb where the teacher says matter
+(opacity-weighted). The student is a stock NeRFNetwork with
+encoding="frequency", so it drops into every renderer path unchanged —
+including render_frame_guided, whose full-res pass then runs entirely
+gather-free.
+
+This is the TPU analog of the baking step production NeRF systems run
+before serving (SNeRG-style); the reference has no equivalent because on
+GPU the hash gather is nearly free (gridencoder.cu kernel_grid's coalesced
+table reads). The PSNR gate in bench.py keeps the bake honest: the baked
+path only counts if the rendered image still clears the fidelity bar.
+"""
+
+from dataclasses import replace
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import NetworkConfig
+
+
+def student_config(teacher_cfg: NetworkConfig, multires: int = 10,
+                   hidden_dim: int = 128, num_layers: int = 4,
+                   hidden_dim_color: int = 64) -> NetworkConfig:
+    """Frequency-encoded MLP sized for MXU-bound inference (~60k
+    MACs/sample at the defaults)."""
+    return replace(
+        teacher_cfg, encoding="frequency", multires=multires,
+        num_layers=num_layers, hidden_dim=hidden_dim,
+        hidden_dim_color=hidden_dim_color, fused=False,
+        # grid/fold knobs don't apply to the student
+        grid_ray=teacher_cfg.grid_ray)
+
+
+def _occupied_cells(state, grid_size: int):
+    """Morton-ordered occupied-cell xyz centers in [-1, 1] (cascade 0),
+    host-side, from the density bitfield."""
+    from ..ops.ray_ops import morton3d_invert
+    bits = np.asarray(state.density_bitfield[: grid_size ** 3 // 8])
+    occ_bits = np.unpackbits(bits, bitorder="little")
+    idx = np.nonzero(occ_bits)[0].astype(np.int32)
+    if idx.size == 0:
+        idx = np.zeros((1,), dtype=np.int32)
+    coords = np.asarray(morton3d_invert(jnp.asarray(idx)))
+    return (2.0 * (coords.astype(np.float32) + 0.5) / grid_size - 1.0)
+
+
+def distill(teacher_net, teacher_params, state, key, steps: int = 2000,
+            batch: int = 32768, lr: float = 2e-3, surface_frac: float = 0.5,
+            cfg: NetworkConfig = None, log_every: int = 0):
+    """Returns (student_net, student_params, final_loss).
+
+    teacher_params should be the fast-inference layout (to_folded) — the
+    teacher is queried batch-by-batch inside the jitted distillation step.
+    """
+    from . import make_network
+
+    tcfg = teacher_net.cfg
+    cfg = cfg or student_config(tcfg)
+    student = make_network(cfg)
+    k_init, key = jax.random.split(key)
+    params = student.init(k_init)
+
+    cells = jnp.asarray(_occupied_cells(state, tcfg.grid_size))
+    n_cells = cells.shape[0]
+    bound = tcfg.bound
+    cell_half = bound / tcfg.grid_size
+    n_surf = int(batch * surface_frac)
+
+    # adam with cosine decay (negative scale = descent in optax convention)
+    tx = optax.chain(optax.scale_by_adam(),
+                     optax.scale_by_schedule(
+                         optax.cosine_decay_schedule(-lr, steps)))
+    opt_state = tx.init(params)
+
+    # opacity weight for the color loss: one reference-scale march step
+    dt_ref = 2.0 * np.sqrt(3.0) / 512.0
+
+    @jax.jit
+    def step(params, opt_state, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        ci = jax.random.randint(k1, (n_surf,), 0, n_cells)
+        x_surf = jnp.take(cells, ci, axis=0) * bound \
+            + jax.random.uniform(k2, (n_surf, 3), minval=-1.5, maxval=1.5) \
+            * cell_half
+        x_uni = jax.random.uniform(k3, (batch - n_surf, 3),
+                                   minval=-bound, maxval=bound)
+        x = jnp.clip(jnp.concatenate([x_surf, x_uni], axis=0),
+                     -bound, bound)
+        d = jax.random.normal(k4, (batch, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+        sig_t, rgb_t = teacher_net.apply(teacher_params, x, d)
+        sig_t = jax.lax.stop_gradient(sig_t)
+        rgb_t = jax.lax.stop_gradient(rgb_t)
+        w_rgb = 1.0 - jnp.exp(-dt_ref * sig_t)
+
+        def loss_fn(p):
+            sig_s, rgb_s = student.apply(p, x, d)
+            l_sig = jnp.mean(optax.huber_loss(
+                jnp.log1p(sig_s), jnp.log1p(sig_t), delta=1.0))
+            l_rgb = jnp.sum(w_rgb[:, None] * (rgb_s - rgb_t) ** 2) \
+                / (3.0 * jnp.sum(w_rgb) + 1e-6)
+            return l_sig + l_rgb
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    loss = None
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"[distill] step {i + 1}/{steps} loss {float(loss):.5f}")
+    return student, params, float(loss)

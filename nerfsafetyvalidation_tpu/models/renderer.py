@@ -551,15 +551,21 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
                  float(bg_color), samples_per_hit, march_tile)
     hit = _FRAME_FAST_CACHE.get(cache_key)
     if hit is not None and hit[0] is net:
-        img, depth, agg = hit[1](params, state, rays_o, rays_d)
+        img, depth, agg, ws, dabs = hit[1](params, state, rays_o, rays_d)
         return {"image": img[:N0], "depth": depth[:N0],
-                "aggregated_density": agg[:N0]}
+                "aggregated_density": agg[:N0], "weights_sum": ws[:N0],
+                "depth_abs": dabs[:N0]}
 
     @jax.jit
     def render(params, state, rays_o, rays_d):
         nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
 
-        mt = min(march_tile, tile)
+        # march tiles span the WHOLE padded ray set; round down to a
+        # divisor of `tile` so n_mtiles * mt == N exactly
+        k = -(-tile // min(march_tile, tile))
+        while tile % k:
+            k += 1
+        mt = tile // k
         n_mtiles = N // mt
 
         # ---- phase-1 march: a FIXED iteration budget for every ray (the
@@ -637,7 +643,8 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
 
             def empty(_):
                 img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
-                return img, jnp.zeros((tile,)), jnp.zeros((tile,))
+                return (img, jnp.zeros((tile,)), jnp.zeros((tile,)),
+                        jnp.zeros((tile,)), jnp.zeros((tile,)))
 
             def make_shade(Kb):
                 def shade(_):
@@ -661,7 +668,8 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
                         + (1.0 - res["weights_sum"])[..., None] * bg_color
                     safe = jnp.where(fr > nr, fr - nr, 1.0)
                     depth = jnp.clip(res["depth"] - nr, 0.0, None) / safe
-                    return img, depth, res["aggregated_density"]
+                    return (img, depth, res["aggregated_density"],
+                            res["weights_sum"], res["depth_abs"])
                 return shade
 
             mx = jnp.max(count_t)
@@ -671,7 +679,7 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
             return jax.lax.switch(idx, [empty] + [make_shade(b)
                                                   for b in buckets], None)
 
-        img, depth, agg = jax.lax.map(
+        img, depth, agg, ws, dabs = jax.lax.map(
             shade_tile, (o_s.reshape(n_tiles, tile, 3),
                          d_s.reshape(n_tiles, tile, 3),
                          ts_s.reshape(n_tiles, tile, K),
@@ -682,9 +690,197 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
         inv = jnp.argsort(order)
         return (jnp.take(img.reshape(N, 3), inv, axis=0),
                 jnp.take(depth.reshape(N), inv, axis=0),
-                jnp.take(agg.reshape(N), inv, axis=0))
+                jnp.take(agg.reshape(N), inv, axis=0),
+                jnp.take(ws.reshape(N), inv, axis=0),
+                jnp.take(dabs.reshape(N), inv, axis=0))
 
     _FRAME_FAST_CACHE[cache_key] = (net, render)
-    img, depth, agg = render(params, state, rays_o, rays_d)
+    img, depth, agg, ws, dabs = render(params, state, rays_o, rays_d)
     return {"image": img[:N0], "depth": depth[:N0],
-            "aggregated_density": agg[:N0]}
+            "aggregated_density": agg[:N0], "weights_sum": ws[:N0],
+            "depth_abs": dabs[:N0]}
+
+
+# --------------------------------------------------------------------------
+# depth-guided frame render: the gather-minimal fast path (round 3)
+# --------------------------------------------------------------------------
+
+_FRAME_GUIDED_CACHE = {}
+
+
+def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
+                        H: int, W: int, prepass_factor: int = 8,
+                        max_samples: int = 16, tile: int = 131072,
+                        max_steps: int = 512, dt_gamma: float = 1.0 / 64,
+                        bg_color: float = 1.0, margin_cells: float = 6.0,
+                        prepass_tile: int = 16384, prepass_march_tile: int = 8192,
+                        samples_per_hit: int = 2):
+    """Two-pass frame render built around the measured gather wall
+    (BENCH_NOTES "ceiling proof"): the per-cell DDA march — whose serial
+    occupancy gathers dominate render time — runs only for a low-res
+    PREPASS (1/prepass_factor^2 of the rays); the full-res pass places a
+    fixed window of `max_samples` uniform samples around the prepass
+    depth and never touches the occupancy grid at all. Shading becomes
+    pure dense compute (encode + MLP + composite) — the TPU-native analog
+    of the reference's alive-ray compaction marcher
+    (raymarching.cu:706-825), trading its per-step occupancy reads for
+    one cheap depth scout.
+
+    Window construction: per prepass pixel, hit depth t_hit where
+    weights_sum > 0.1; per 3x3 prepass neighborhood the conservative
+    [min, max] hit range +/- margin_cells grid cells; blocks with no hit
+    in the neighborhood render as background without shading. Silhouette
+    edges are covered by the 3x3 dilation (one prepass block = 
+    prepass_factor pixels).
+
+    rays_o/d: [H*W, 3] row-major. Returns the render_frame_fast dict.
+    """
+    cfg = net.cfg
+    f = prepass_factor
+    K = max_samples
+    N = H * W
+    assert rays_o.shape[0] == N, "guided render needs full-frame rays"
+    h = (H + f - 1) // f
+    w = (W + f - 1) // f
+    aabb = aabb_of(cfg)
+    cell = 2.0 * cfg.bound / cfg.grid_size
+    margin = margin_cells * cell
+
+    # ---- prepass: subsampled march+shade through the fast path (its own jit)
+    yy = np.clip(np.arange(h) * f + f // 2, 0, H - 1)
+    xx = np.clip(np.arange(w) * f + f // 2, 0, W - 1)
+    pre_idx = (yy[:, None] * W + xx[None, :]).reshape(-1)
+    pre_o = jnp.take(rays_o, jnp.asarray(pre_idx), axis=0)
+    pre_d = jnp.take(rays_d, jnp.asarray(pre_idx), axis=0)
+    pre = render_frame_fast(net, params, state, pre_o, pre_d,
+                            tile=min(prepass_tile, _round_up(h * w, 1024)),
+                            max_samples=K, max_steps=max_steps,
+                            dt_gamma=dt_gamma, bg_color=bg_color,
+                            samples_per_hit=samples_per_hit,
+                            march_tile=prepass_march_tile)
+
+    n_tiles = (N + tile - 1) // tile
+    Np = n_tiles * tile
+
+    cache_key = (id(net), H, W, f, K, tile, float(bg_color), float(margin))
+    hit_fn = _FRAME_GUIDED_CACHE.get(cache_key)
+    if hit_fn is None or hit_fn[0] is not net:
+
+        @jax.jit
+        def fine(params, rays_o, rays_d, pre_dabs, pre_ws):
+            nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
+                                             cfg.min_near)
+            # absolute expected surface t (composite_marched depth_abs is
+            # the opacity-weighted sample t; normalize by the opacity)
+            t_hit = (pre_dabs / jnp.clip(pre_ws, 0.1, None)).reshape(h, w)
+            hit_p = (pre_ws > 0.1).reshape(h, w)
+
+            # 3x3 conservative min/max pooling over the prepass grid
+            big = jnp.float32(1e9)
+            tmin = jnp.where(hit_p, t_hit, big)
+            tmax = jnp.where(hit_p, t_hit, -big)
+            pad_min = jnp.pad(tmin, 1, constant_values=big)
+            pad_max = jnp.pad(tmax, 1, constant_values=-big)
+            mins, maxs = [], []
+            for dy in range(3):
+                for dx in range(3):
+                    mins.append(pad_min[dy:dy + h, dx:dx + w])
+                    maxs.append(pad_max[dy:dy + h, dx:dx + w])
+            tmin = jnp.min(jnp.stack(mins), axis=0)
+            tmax = jnp.max(jnp.stack(maxs), axis=0)
+            anyhit = tmin < big
+
+            def up(m):  # nearest-neighbor upsample [h, w] -> [H*W]
+                m = jnp.broadcast_to(m[:, None, :, None], (h, f, w, f))
+                return m.reshape(h * f, w * f)[:H, :W].reshape(N)
+
+            t0 = jnp.clip(up(tmin) - margin, nears, fars)
+            t1 = jnp.clip(up(tmax) + margin, nears, fars)
+            hit = up(anyhit.astype(jnp.float32)) > 0.5
+            hit = hit & (fars > nears) & (t1 > t0)
+
+            # hits first; all-sky tiles skip shading entirely
+            order = jnp.argsort(~hit)
+            o_s = jnp.take(rays_o, order, axis=0)
+            d_s = jnp.take(rays_d, order, axis=0)
+            t0_s = jnp.take(t0, order, axis=0)
+            t1_s = jnp.take(t1, order, axis=0)
+            nr_s = jnp.take(nears, order, axis=0)
+            fr_s = jnp.take(fars, order, axis=0)
+            hit_s = jnp.take(hit, order, axis=0)
+
+            pad = Np - N
+            if pad:
+                o_s = jnp.concatenate([o_s, jnp.zeros((pad, 3))], axis=0)
+                d_s = jnp.concatenate(
+                    [d_s, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                           (pad, 3))], axis=0)
+                t0_s = jnp.concatenate([t0_s, jnp.zeros((pad,))])
+                t1_s = jnp.concatenate([t1_s, jnp.zeros((pad,))])
+                nr_s = jnp.concatenate([nr_s, jnp.zeros((pad,))])
+                fr_s = jnp.concatenate([fr_s, jnp.ones((pad,))])
+                hit_s = jnp.concatenate(
+                    [hit_s, jnp.zeros((pad,), dtype=bool)])
+
+            def shade_tile(args):
+                o, d, ta, tb, nr, fr, ht = args
+
+                def empty(_):
+                    img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
+                    return (img, jnp.zeros((tile,)), jnp.zeros((tile,)),
+                            jnp.zeros((tile,)))
+
+                def shade(_):
+                    dtw = (tb - ta) / K                              # [tile]
+                    jj = (jnp.arange(K, dtype=jnp.float32) + 0.5)
+                    z = ta[:, None] + dtw[:, None] * jj[None, :]     # [tile,K]
+                    mask = ht[:, None] & (z < fr[:, None])
+                    xyz = jnp.clip(o[:, None, :] + z[..., None] * d[:, None, :],
+                                   -cfg.bound, cfg.bound).reshape(-1, 3)
+                    dirs = jnp.broadcast_to(d[:, None, :],
+                                            (tile, K, 3)).reshape(-1, 3)
+                    sigmas, rgbs = net.apply(params, xyz, dirs)
+                    sigmas = jnp.where(mask, sigmas.reshape(tile, K), 0.0)
+                    rgbs = rgbs.reshape(tile, K, 3)
+                    alphas = 1.0 - jnp.exp(
+                        -dtw[:, None] * cfg.density_scale * sigmas)
+                    shifted = jnp.concatenate(
+                        [jnp.ones_like(alphas[:, :1]),
+                         1.0 - alphas + 1e-15], axis=-1)
+                    trans = jnp.cumprod(shifted, axis=-1)[:, :-1]
+                    wgt = alphas * trans
+                    ws = jnp.sum(wgt, axis=-1)
+                    img = jnp.sum(wgt[..., None] * rgbs, axis=-2) \
+                        + (1.0 - ws)[..., None] * bg_color
+                    safe = jnp.where(fr > nr, fr - nr, 1.0)
+                    depth = jnp.sum(wgt * jnp.clip(z - nr[:, None], 0.0,
+                                                   None), axis=-1) / safe
+                    agg = jnp.sum(wgt * sigmas, axis=-1)
+                    return img, depth, agg, ws
+
+                return jax.lax.cond(jnp.any(ht), shade, empty, None)
+
+            img, depth, agg, ws = jax.lax.map(
+                shade_tile, (o_s.reshape(n_tiles, tile, 3),
+                             d_s.reshape(n_tiles, tile, 3),
+                             t0_s.reshape(n_tiles, tile),
+                             t1_s.reshape(n_tiles, tile),
+                             nr_s.reshape(n_tiles, tile),
+                             fr_s.reshape(n_tiles, tile),
+                             hit_s.reshape(n_tiles, tile)))
+            inv = jnp.argsort(order)
+            return (jnp.take(img.reshape(Np, 3)[:N], inv, axis=0),
+                    jnp.take(depth.reshape(Np)[:N], inv, axis=0),
+                    jnp.take(agg.reshape(Np)[:N], inv, axis=0),
+                    jnp.take(ws.reshape(Np)[:N], inv, axis=0))
+
+        _FRAME_GUIDED_CACHE[cache_key] = (net, fine)
+    fine = _FRAME_GUIDED_CACHE[cache_key][1]
+    img, depth, agg, ws = fine(params, rays_o, rays_d, pre["depth_abs"],
+                               pre["weights_sum"])
+    return {"image": img, "depth": depth, "aggregated_density": agg,
+            "weights_sum": ws}
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -234,5 +234,12 @@ def composite_marched(sigmas, rgbs, deltas, rs, ts, mask, nears, fars,
     aggregated_density = jnp.sum(weights * sigmas, axis=-1)
     # normalized depth like run_cuda (renderer.py:323): (depth-near)/(far-near)
     depth = jnp.clip(depth - 0.0, 0.0, None)
+    # ABSOLUTE expected surface t (sum w * t_sample). The reference's own
+    # depth is near-relative at the composite then near-subtracted AGAIN
+    # downstream (raymarching.cu:429/465 + renderer.py:313 — a quirk kept
+    # verbatim in `depth`); depth_abs is the extra output the depth-guided
+    # render path needs, free to be correct.
+    depth_abs = jnp.sum(weights * ts * mask, axis=-1)
     return {"weights": weights, "weights_sum": weights_sum, "depth": depth,
-            "image": image, "aggregated_density": aggregated_density}
+            "image": image, "aggregated_density": aggregated_density,
+            "depth_abs": depth_abs}

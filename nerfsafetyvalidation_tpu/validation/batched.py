@@ -30,6 +30,40 @@ from ..nav.agent import drone_dynamics
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
 
+def _cem_proposal_update(elite, q_mean, q_cov, p_mean, p_cov):
+    """One CEM proposal refresh over all steps — the exact sequential-port
+    math (stresstests/cross_entropy.py `_weighted_mean_cov` + the
+    reference's diagonal clamp, CrossEntropyMethod.py:224-250): importance
+    weights p/q from FULL mvn log-probs, log-sum-exp normalized, clamped at
+    1e-8; torch.cov(aweights)-normalized weighted covariance; keep the
+    diagonal clamped to [0, 0.1].
+
+    elite: [E, T, 12]; q_mean/p_mean: [T, 12]; q_cov/p_cov: [T, 12, 12].
+    Returns (new_means [T, 12], new_covs [T, 12, 12])."""
+    from .stresstests.cross_entropy import _weighted_mean_cov
+    T = q_mean.shape[0]
+    new_means = np.empty_like(q_mean)
+    new_covs = np.empty_like(q_cov)
+    for t in range(T):
+        lp = BatchedRolloutEngine._mvn_logpdf(elite[:, t], p_mean[t], p_cov[t])
+        lq = BatchedRolloutEngine._mvn_logpdf(elite[:, t], q_mean[t], q_cov[t])
+        lw = lp - lq
+        lw = lw - (np.max(lw) + np.log(np.exp(lw - np.max(lw)).sum()))
+        w = np.exp(lw)
+        if np.any(w <= 0):                    # zero-weight clamp (CEM.py:236)
+            w = np.clip(w, 1e-8, None)
+        mean_t, cov_t = _weighted_mean_cov(elite[:, t], w)
+        diag = np.diag(cov_t).copy()
+        if (diag > 0.1).any() or (diag < 0).any():   # CEM.py:244-249
+            diag = np.clip(diag, 0.0, 0.1)
+        # 1e-12 floor keeps the Cholesky samplable where the reference's
+        # torch mvn would raise and abort the sweep
+        diag = np.maximum(diag, 1e-12)
+        new_means[t] = mean_t
+        new_covs[t] = np.diag(diag)
+    return new_means, new_covs
+
+
 class BatchedRolloutEngine:
     def __init__(self, actions, dt, g, mass, I, sdf, sdf_start, granularity,
                  noise_mean, noise_std, start_state, mesh=None):
@@ -112,16 +146,23 @@ class BatchedRolloutEngine:
         return run
 
     # ------------------------------------------------------------------ APIs
-    def sample_noises(self, key, n_sims: int, means=None, covs_diag=None):
-        """[n_sims, T, 12] disturbances. Per-step means/diag-stds optional
-        (CEM proposal); defaults to the MC mean/std."""
+    def sample_noises(self, key, n_sims: int, means=None, covs_diag=None,
+                      covs=None):
+        """[n_sims, T, 12] disturbances. Per-step means + either diagonal
+        variances (covs_diag [T, 12]) or FULL covariances (covs [T, 12, 12],
+        sampled via a batched Cholesky — the torch MultivariateNormal
+        equivalent, SeedableMultivariateNormal.py:3); defaults to the MC
+        mean/std."""
         if means is None:
             means = jnp.broadcast_to(self.noise_mean, (self.steps, 12))
+        z = jax.random.normal(key, (n_sims, self.steps, 12))
+        if covs is not None:
+            L = jnp.linalg.cholesky(jnp.asarray(covs, dtype=jnp.float32))
+            return means[None] + jnp.einsum("tij,ntj->nti", L, z)
         if covs_diag is None:
             stds = jnp.broadcast_to(self.noise_std, (self.steps, 12))
         else:
             stds = jnp.sqrt(covs_diag)
-        z = jax.random.normal(key, (n_sims, self.steps, 12))
         return means[None] + stds[None] * z
 
     def run(self, noises):
@@ -151,45 +192,51 @@ class BatchedRolloutEngine:
 
     def cem(self, key, m: int, m_elite: int, kmax: int):
         """Batched CEM: population sampling + rollouts on device, elite
-        reweighting host-side (mirrors CEM.py:211-262 with diagonal
-        covariances)."""
+        reweighting host-side. The proposal update is the EXACT sequential
+        semantics (CEM.py:211-262 / stresstests/cross_entropy.py): full
+        torch.cov(aweights)-normalized weighted covariance, then keep only
+        its clamped diagonal — which the reference itself does
+        (CrossEntropyMethod.py:244-249). Sampling is full-covariance
+        Cholesky, so an unclamped/externally-supplied proposal also works."""
         means = np.broadcast_to(np.asarray(self.noise_mean),
                                 (self.steps, 12)).copy()
-        vars_ = np.broadcast_to(np.asarray(self.noise_std) ** 2,
-                                (self.steps, 12)).copy()
-        p_mean, p_var = means.copy(), vars_.copy()
+        covs = np.broadcast_to(np.diag(np.asarray(self.noise_std) ** 2),
+                               (self.steps, 12, 12)).copy()
+        p_mean, p_cov = means.copy(), covs.copy()
         history = []
         for k in range(kmax):
             key, sub = jax.random.split(key)
             noises = self.sample_noises(sub, m, jnp.asarray(means),
-                                        jnp.asarray(vars_))
+                                        covs=jnp.asarray(covs))
             out = self.run(noises)
             risks = np.asarray(out["risk"])
             elite_idx = np.argsort(risks)[:m_elite]
             elite = np.asarray(noises)[elite_idx]  # [E, T, 12]
-
-            # importance weights p/q per step (log-sum-exp normalized)
-            for t in range(self.steps):
-                lp = self._diag_logpdf(elite[:, t], p_mean[t], p_var[t])
-                lq = self._diag_logpdf(elite[:, t], means[t], vars_[t])
-                lw = lp - lq
-                lw = lw - (np.max(lw) + np.log(np.exp(lw - np.max(lw)).sum()))
-                w = np.clip(np.exp(lw), 1e-8, None)
-                w = w / w.sum()
-                mean_t = (w[:, None] * elite[:, t]).sum(0)
-                var_t = (w[:, None] * (elite[:, t] - mean_t) ** 2).sum(0)
-                var_t = np.clip(var_t, 1e-12, 0.1)  # diag clamp (CEM.py:243-249)
-                means[t] = mean_t
-                vars_[t] = var_t
+            means, covs = _cem_proposal_update(elite, means, covs,
+                                               p_mean, p_cov)
             history.append({"mean_risk": float(risks.mean()),
                             "elite_risk": float(risks[elite_idx].mean()),
                             "collision_rate":
                                 float(np.asarray(out["ever_collided"]).mean())})
-        return {"means": means, "vars": vars_, "history": history}
+        return {"means": means, "covs": covs,
+                "vars": np.stack([np.diag(c) for c in covs]),
+                "history": history}
 
     @staticmethod
     def _diag_logpdf(x, mean, var):
         return (-0.5 * ((x - mean) ** 2 / var + np.log(var) + _LOG_2PI)).sum(-1)
+
+    @staticmethod
+    def _mvn_logpdf(x, mean, cov):
+        """Full multivariate-normal log-density (torch
+        MultivariateNormal.log_prob equivalent), via Cholesky."""
+        L = np.linalg.cholesky(np.asarray(cov, dtype=np.float64))
+        diff = np.asarray(x, dtype=np.float64) - mean
+        sol = np.linalg.solve(L, diff.T)                    # [D, M]
+        maha = (sol ** 2).sum(0)
+        logdet = 2.0 * np.log(np.diag(L)).sum()
+        d = mean.shape[-1]
+        return -0.5 * (maha + logdet + d * _LOG_2PI)
 
 
 # ---------------------------------------------------------------------------
@@ -351,17 +398,19 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             return super()._build()
         G = max(1, self.obs_group)
 
-        def run_impl(z, q_mean, q_std):
-            """z/q_mean/q_std: [m, T, 12]. Population-level scan over steps:
-            dynamics/UQ/reward/SDF vectorize over the whole population; the
-            observation renders evaluate obs_group sims at a time (see
-            __init__). Noise is formed in-scan so the reference's
-            reward-adapted std (MonteCarlo.py:49-52) feeds back into the
-            NEXT step's draw."""
+        def run_impl(z, q_mean, q_chol, adapt_gain):
+            """z/q_mean: [m, T, 12]; q_chol: [T, 12, 12] per-step Cholesky
+            factors of the proposal covariance (diag(std) for MC / diagonal
+            proposals). Population-level scan over steps: dynamics/UQ/
+            reward/SDF vectorize over the whole population; the observation
+            renders evaluate obs_group sims at a time (see __init__).
+            Noise is formed in-scan so the reference's reward-adapted std
+            (MonteCarlo.py:49-52, `adapt_gain=1`) feeds back into the NEXT
+            step's draw; CEM samples the proposal verbatim
+            (CrossEntropyMethod.py:82, `adapt_gain=0`)."""
             m = z.shape[0]
             zT = jnp.swapaxes(z, 0, 1)                    # [T, m, 12]
             qmT = jnp.swapaxes(q_mean, 0, 1)
-            qsT = jnp.swapaxes(q_std, 0, 1)
             start = jnp.broadcast_to(self.start_state, (m, 12))
 
             n_groups = -(-m // G)
@@ -382,9 +431,11 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
 
             def step(carry, inp):
                 states, done, reward_prev, t = carry
-                action, z_t, qm, qs = inp
-                adj_std = qs + reward_prev[:, None] * (0.01 * qs)
-                noise = qm + adj_std * z_t
+                action, z_t, qm, L_t = inp
+                # reward-adapted std scales the whole factor uniformly
+                # (adjusted = std * (1 + 0.01 * reward), MonteCarlo.py:49-52)
+                scale = 1.0 + adapt_gain * 0.01 * reward_prev
+                noise = qm + scale[:, None] * (z_t @ L_t.T)
                 nxt = jax.vmap(
                     lambda st: drone_dynamics(st, action, self.dt, self.g,
                                               self.mass, self.I,
@@ -406,7 +457,7 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             init = (start, jnp.zeros((m,), bool), jnp.zeros((m,)),
                     jnp.asarray(0, dtype=jnp.int32))
             (_, ever, _, _), outs = jax.lax.scan(
-                step, init, (self.actions[:self.steps], zT, qmT, qsT))
+                step, init, (self.actions[:self.steps], zT, qmT, q_chol))
             (noises, positions, sdf_vals, collided, logliks, rewards_prev,
              sigmas, rewards) = [jnp.swapaxes(o, 0, 1) for o in outs]
             return {
@@ -424,27 +475,34 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
 
         return jax.jit(run_impl)
 
-    def run(self, z, q_mean=None, q_std=None):
-        """z: [n, T, 12] standard normals (or, with q_mean=0/q_std=1 style
-        usage, pre-formed noises)."""
+    def run(self, z, q_mean=None, q_std=None, q_chol=None,
+            adapt_std: bool = True):
+        """z: [n, T, 12] standard normals. Proposal: either diagonal q_std
+        [T, 12] or full-covariance Cholesky factors q_chol [T, 12, 12].
+        adapt_std=True applies the reference MC's reward-adapted noise std
+        in-scan (MonteCarlo.py:49-52); CEM passes False (the reference CEM
+        samples its proposal verbatim, CrossEntropyMethod.py:82)."""
         z = jnp.asarray(z, dtype=jnp.float32)
         n = z.shape[0]
         if q_mean is None:
             q_mean = jnp.broadcast_to(self.noise_mean, (self.steps, 12))
-        if q_std is None:
-            q_std = jnp.broadcast_to(self.noise_std, (self.steps, 12))
         q_mean = jnp.broadcast_to(jnp.asarray(q_mean, dtype=jnp.float32),
                                   (self.steps, 12))
-        q_std = jnp.broadcast_to(jnp.asarray(q_std, dtype=jnp.float32),
-                                 (self.steps, 12))
+        if q_chol is None:
+            if q_std is None:
+                q_std = jnp.broadcast_to(self.noise_std, (self.steps, 12))
+            q_std = jnp.broadcast_to(jnp.asarray(q_std, dtype=jnp.float32),
+                                     (self.steps, 12))
+            q_chol = jax.vmap(jnp.diag)(q_std)
+        q_chol = jnp.asarray(q_chol, dtype=jnp.float32)
         qm = jnp.broadcast_to(q_mean[None], (n,) + q_mean.shape)
-        qs = jnp.broadcast_to(q_std[None], (n,) + q_std.shape)
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
             z = shard_batch(z, self.mesh, batch_axis=0)
             qm = shard_batch(qm, self.mesh, batch_axis=0)
-            qs = shard_batch(qs, self.mesh, batch_axis=0)
-        return self._run(z, qm, qs)
+        return self._run(z, qm, q_chol,
+                         jnp.asarray(1.0 if adapt_std else 0.0,
+                                     dtype=jnp.float32))
 
     # --------------------------------------------------------------- drivers
     def monte_carlo(self, key, n_sims: int):
@@ -485,19 +543,23 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
     def cem(self, key, m: int, m_elite: int, kmax: int, csv_path=None):
         """Full-fidelity batched CEM with the reference's 27-column CSV
         schema (CrossEntropyMethod.py:173-189) and reward-scaled risk
-        adjustment (CEM.py:110-122)."""
+        adjustment (CEM.py:110-122). Full-covariance Cholesky proposal
+        sampling, sampled verbatim (no reward-adapted std — that is MC-only,
+        MonteCarlo.py:49-52), and the exact sequential proposal update."""
         import csv
         means = np.broadcast_to(np.asarray(self.noise_mean),
                                 (self.steps, 12)).copy()
-        vars_ = np.broadcast_to(np.asarray(self.noise_std) ** 2,
-                                (self.steps, 12)).copy()
+        covs = np.broadcast_to(np.diag(np.asarray(self.noise_std) ** 2),
+                               (self.steps, 12, 12)).copy()
         p_mean = means.copy()
-        p_var = vars_.copy()
+        p_cov = covs.copy()
         history = []
         for k in range(kmax):
             key, sub = jax.random.split(key)
             z = jax.random.normal(sub, (m, self.steps, 12))
-            out = self.run(z, jnp.asarray(means), jnp.sqrt(jnp.asarray(vars_)))
+            q_chol = np.linalg.cholesky(covs)
+            out = self.run(z, jnp.asarray(means),
+                           q_chol=jnp.asarray(q_chol), adapt_std=False)
             out = {kk: np.asarray(v) for kk, v in out.items()}
 
             # reward-scaled risk (CEM.py:110-122): collisionVal_adj =
@@ -514,6 +576,17 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                 os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
                 with open(csv_path, "a", newline="") as f:
                     w = csv.writer(f)
+                    # per-step log-probs under p and q (full mvn; the
+                    # cumulative columns are running sums — per-step
+                    # draws are independent, CEM.py:134-137)
+                    lp_steps = np.stack([self._mvn_logpdf(
+                        out["noises"][:, t], p_mean[t], p_cov[t])
+                        for t in range(self.steps)], axis=1)     # [m, T]
+                    lq_steps = np.stack([self._mvn_logpdf(
+                        out["noises"][:, t], means[t], covs[t])
+                        for t in range(self.steps)], axis=1)
+                    lp_cum = np.cumsum(lp_steps, axis=1)
+                    lq_cum = np.cumsum(lq_steps, axis=1)
                     for i in range(m):
                         ever = bool(out["collided"][i].any())
                         for t in range(self.steps):
@@ -523,20 +596,10 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                             row.append(float(out["sigma_d"][i, t]))
                             row.append(float(adj[i, t]))
                             row.extend(out["positions"][i, t].tolist())
-                            lp = self._diag_logpdf(out["noises"][i, t],
-                                                   p_mean[t], p_var[t])
-                            lq = self._diag_logpdf(out["noises"][i, t],
-                                                   means[t], vars_[t])
-                            row.append(float(lp))
-                            row.append(float(lq))
-                            row.append(float(self._diag_logpdf(
-                                out["noises"][i, :t + 1].reshape(-1),
-                                p_mean[:t + 1].reshape(-1),
-                                p_var[:t + 1].reshape(-1))))
-                            row.append(float(self._diag_logpdf(
-                                out["noises"][i, :t + 1].reshape(-1),
-                                means[:t + 1].reshape(-1),
-                                vars_[:t + 1].reshape(-1))))
+                            row.append(float(lp_steps[i, t]))
+                            row.append(float(lq_steps[i, t]))
+                            row.append(float(lp_cum[i, t]))
+                            row.append(float(lq_cum[i, t]))
                             row.append(bool(out["collided"][i, t]))
                             row.append(ever)
                             w.writerow(row)
@@ -545,20 +608,13 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
 
             elite_idx = np.argsort(risks)[:m_elite]
             elite = out["noises"][elite_idx]
-            for t in range(self.steps):
-                lp = self._diag_logpdf(elite[:, t], p_mean[t], p_var[t])
-                lq = self._diag_logpdf(elite[:, t], means[t], vars_[t])
-                lw = lp - lq
-                lw = lw - (np.max(lw) + np.log(np.exp(lw - np.max(lw)).sum()))
-                w_ = np.clip(np.exp(lw), 1e-8, None)
-                w_ = w_ / w_.sum()
-                mean_t = (w_[:, None] * elite[:, t]).sum(0)
-                var_t = (w_[:, None] * (elite[:, t] - mean_t) ** 2).sum(0)
-                means[t] = mean_t
-                vars_[t] = np.clip(var_t, 1e-12, 0.1)
+            means, covs = _cem_proposal_update(elite, means, covs,
+                                               p_mean, p_cov)
             history.append({
                 "mean_risk": float(risks.mean()),
                 "elite_risk": float(risks[elite_idx].mean()),
                 "collision_rate": float(out["collided"].any(1).mean()),
             })
-        return {"means": means, "vars": vars_, "history": history}
+        return {"means": means, "covs": covs,
+                "vars": np.stack([np.diag(c) for c in covs]),
+                "history": history}

@@ -1,0 +1,137 @@
+"""Depth-guided frame render (march only at prepass) and teacher->student
+distillation (models/bake.py) — the round-3 gather-wall attack paths."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerfsafetyvalidation_tpu.config import NetworkConfig
+from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+from nerfsafetyvalidation_tpu.models import renderer as R
+from nerfsafetyvalidation_tpu.ops.ray_ops import (packbits, morton3d,
+                                                  occupancy_to_skip_grid)
+
+
+class _SphereMaskedNet:
+    """Random net whose density is confined to the sphere the occupancy
+    grid marks — the trained-scene consistency (field ~0 in free space)
+    the guided fine pass relies on."""
+
+    def __init__(self, net, radius=0.4):
+        self.net = net
+        self.cfg = net.cfg
+        self.radius = radius
+
+    def init(self, key):
+        return self.net.init(key)
+
+    def apply(self, params, x, d):
+        sigma, rgb = self.net.apply(params, x, d)
+        inside = jnp.linalg.norm(x, axis=-1) < self.radius
+        return jnp.where(inside, sigma, 0.0), rgb
+
+
+@pytest.fixture(scope="module")
+def frame_scene():
+    """Sphere occupancy + an orthographic H x W frame of rays marching +z."""
+    # density_scale makes the random-init field render as a SOLID surface
+    # (trained-scene regime) — the guided prepass keys off weights_sum>0.1
+    cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                        grid_ray=True, density_scale=50.0)
+    net = _SphereMaskedNet(NeRFNetwork(cfg))
+    params = net.init(jax.random.PRNGKey(0))
+    G = cfg.grid_size
+    g = np.arange(G)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    c = 2.0 * (np.stack([xx, yy, zz], -1) + 0.5) / G - 1.0
+    occ = (np.linalg.norm(c, axis=-1) < 0.4).astype(np.float32) * 100
+    grid = np.zeros((cfg.cascade, G ** 3), np.float32)
+    coords = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+    idx = np.asarray(morton3d(jnp.asarray(coords)))
+    grid[0, idx] = occ.ravel()
+    gridj = jnp.asarray(grid)
+    state = R.RendererState(gridj, packbits(gridj, 0.5), jnp.asarray(1.0),
+                            jnp.asarray(1),
+                            occupancy_to_skip_grid(gridj > 0.5, G))
+    H = W = 32
+    ys, xs = np.meshgrid(np.linspace(-0.9, 0.9, H),
+                         np.linspace(-0.9, 0.9, W), indexing="ij")
+    ro = np.stack([xs.ravel(), ys.ravel(), np.full(H * W, -2.5)], -1)
+    rd = np.broadcast_to(np.asarray([0.0, 0.0, 1.0]), (H * W, 3))
+    return (net, params, state, jnp.asarray(ro, jnp.float32),
+            jnp.asarray(rd, jnp.float32), H, W)
+
+
+def test_guided_matches_fast(frame_scene):
+    """Guided (prepass-windowed uniform sampling) must agree with the
+    marched fast path at PSNR > 30 dB — the windows bracket the same
+    geometry the march finds."""
+    net, params, state, ro, rd, H, W = frame_scene
+    fast = R.render_frame_fast(net, params, state, ro, rd, tile=256,
+                               max_samples=32, max_steps=128, march_tile=256)
+    guided = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                                   prepass_factor=4, max_samples=32,
+                                   tile=256, max_steps=128, margin_cells=6.0,
+                                   prepass_tile=1024, prepass_march_tile=1024)
+    a = np.asarray(fast["image"])
+    b = np.asarray(guided["image"])
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 30.0, f"guided vs fast PSNR {psnr:.1f} dB"
+    # opacity masks agree on the bulk of pixels
+    m_fast = np.asarray(fast["weights_sum"]) > 0.5
+    m_gui = np.asarray(guided["weights_sum"]) > 0.5
+    assert (m_fast == m_gui).mean() > 0.97
+
+
+def test_guided_sky_is_background(frame_scene):
+    net, params, state, ro, rd, H, W = frame_scene
+    out = R.render_frame_guided(net, params, state, ro, -rd, H, W,
+                                prepass_factor=4, max_samples=16,
+                                tile=256, max_steps=64,
+                                prepass_tile=1024, prepass_march_tile=1024)
+    np.testing.assert_allclose(np.asarray(out["image"]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["weights_sum"]), 0.0,
+                               atol=1e-6)
+
+
+def test_depth_abs_is_opacity_weighted_t(frame_scene):
+    """composite_marched's depth_abs = sum(w * t): for a saturating ray it
+    sits inside the geometry's t-range."""
+    net, params, state, ro, rd, H, W = frame_scene
+    out = R.render_frame_fast(net, params, state, ro, rd, tile=256,
+                              max_samples=32, max_steps=128, march_tile=256)
+    ws = np.asarray(out["weights_sum"])
+    dabs = np.asarray(out["depth_abs"])
+    hit = ws > 0.9
+    assert hit.any()
+    # sphere radius 0.4 at origin; rays start at z=-2.5 -> t in [2.5-r-eps,
+    # 2.5+r] for any hit ray (expected t is opacity-weighted)
+    assert (dabs[hit] > 1.9).all() and (dabs[hit] < 3.0).all()
+    assert np.allclose(dabs[~hit], 0.0, atol=1e-3)
+
+
+def test_distill_student_tracks_teacher(frame_scene):
+    net, params, state, ro, rd, H, W = frame_scene
+    from nerfsafetyvalidation_tpu.models.bake import distill, student_config
+    scfg = student_config(net.cfg, multires=4, hidden_dim=32, num_layers=2,
+                          hidden_dim_color=16)
+    student, sparams, loss = distill(net, params, state,
+                                     jax.random.PRNGKey(1), steps=60,
+                                     batch=512, cfg=scfg)
+    assert np.isfinite(loss)
+    # the student must beat a fresh random init on the distill objective
+    fresh = student.init(jax.random.PRNGKey(99))
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (2048, 3), minval=-1.0, maxval=1.0)
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (2048, 3))
+    sig_t, _ = net.apply(params, x, d)
+    err = lambda p: float(jnp.mean(
+        (jnp.log1p(student.apply(p, x, d)[0]) - jnp.log1p(sig_t)) ** 2))
+    assert err(sparams) < err(fresh)
+    # and the student drops into the guided renderer unchanged
+    out = R.render_frame_guided(student, sparams, state, ro, rd, H, W,
+                                prepass_factor=4, max_samples=16, tile=256,
+                                max_steps=64, prepass_tile=1024,
+                                prepass_march_tile=1024)
+    assert np.isfinite(np.asarray(out["image"])).all()

@@ -139,8 +139,63 @@ class TestBatchedRollouts:
         eng = self.make_engine()
         res = eng.cem(jax.random.PRNGKey(0), m=16, m_elite=4, kmax=2)
         assert res["means"].shape == (10, 12)
+        assert res["covs"].shape == (10, 12, 12)
         assert (res["vars"] > 0).all() and (res["vars"] <= 0.1 + 1e-9).all()
         assert len(res["history"]) == 2
+
+    def test_full_cov_sampling_statistics(self):
+        """sample_noises(covs=...) draws from the FULL mvn (Cholesky), the
+        torch MultivariateNormal equivalent."""
+        eng = self.make_engine()
+        T = eng.steps
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(12, 12)) * 0.05
+        cov = A @ A.T + 0.01 * np.eye(12)
+        covs = np.broadcast_to(cov, (T, 12, 12))
+        means = np.tile(rng.normal(size=12).astype(np.float32), (T, 1))
+        draws = np.asarray(eng.sample_noises(
+            jax.random.PRNGKey(0), 20000, jnp.asarray(means),
+            covs=jnp.asarray(covs)))
+        emp = np.cov(draws[:, 0].T)
+        np.testing.assert_allclose(emp, cov, atol=0.01)
+        np.testing.assert_allclose(draws.mean(0), means, atol=0.02)
+
+    def test_cem_proposal_update_matches_sequential(self):
+        """_cem_proposal_update must reproduce the sequential port's elite
+        update (cross_entropy.py:175-195 == reference CEM.py:211-262) step
+        by step: full mvn importance weights, torch.cov aweights
+        normalization, diagonal clamp."""
+        from scipy.special import logsumexp
+        from nerfsafetyvalidation_tpu.validation.batched import (
+            _cem_proposal_update)
+        rng = np.random.default_rng(7)
+        E, T = 6, 4
+        elite = rng.normal(0, 0.3, size=(E, T, 12))
+        q_mean = rng.normal(0, 0.1, size=(T, 12))
+        p_mean = np.zeros((T, 12))
+        q_cov = np.broadcast_to(0.04 * np.eye(12), (T, 12, 12)).copy()
+        p_cov = np.broadcast_to(0.09 * np.eye(12), (T, 12, 12)).copy()
+        means, covs = _cem_proposal_update(elite, q_mean, q_cov,
+                                           p_mean, p_cov)
+        for t in range(T):
+            log_w = np.asarray([
+                float(mvn_log_prob(jnp.asarray(e), jnp.asarray(p_mean[t]),
+                                   jnp.asarray(p_cov[t]))
+                      - mvn_log_prob(jnp.asarray(e), jnp.asarray(q_mean[t]),
+                                     jnp.asarray(q_cov[t])))
+                for e in elite[:, t]])
+            log_w = log_w - logsumexp(log_w)
+            w = np.clip(np.exp(log_w), 1e-8, None)
+            mean_ref, cov_ref = _weighted_mean_cov(elite[:, t], w)
+            diag = np.clip(np.diag(cov_ref), 0.0, 0.1)
+            np.testing.assert_allclose(means[t], mean_ref, rtol=1e-4,
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.diag(covs[t]),
+                                       np.maximum(diag, 1e-12), rtol=1e-4,
+                                       atol=1e-6)
+            # the batched proposal keeps only the clamped diagonal, exactly
+            # like the sequential port (CEM.py:244-249)
+            np.testing.assert_allclose(covs[t], np.diag(np.diag(covs[t])))
 
     def test_sharded_over_mesh(self):
         from nerfsafetyvalidation_tpu.parallel.mesh import get_mesh
