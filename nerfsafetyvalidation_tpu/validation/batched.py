@@ -256,7 +256,11 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                  obs_res=100, render_steps=64, base_intrinsics=None,
                  base_res=800, uq_iters=100, uq_lr=1e-2,
                  penalty_strength=36.0, mesh=None, renderer_state=None,
-                 grid_max_samples=16, obs_group=1):
+                 grid_max_samples=16, obs_group=1, uq_method="gaussian",
+                 laplace_fit_steps=100, laplace_points=256,
+                 laplace_perturbations=3, laplace_scale=0.3,
+                 laplace_lm_iters=20, laplace_prior_std=1.0,
+                 laplace_lr=1e-2):
         # obs_group: sims whose observation renders run CONCURRENTLY (vmap);
         # groups run serially via lax.map. The render is the memory-heavy
         # part of a step (encode intermediates scale with rays*samples*sims),
@@ -278,6 +282,16 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         self.uq_iters = int(uq_iters)
         self.uq_lr = float(uq_lr)
         self.penalty_strength = float(penalty_strength)
+        if uq_method not in ("gaussian", "laplace"):
+            raise ValueError(f"unknown in-scan uq_method {uq_method!r}")
+        self.uq_method = uq_method
+        self.laplace_fit_steps = int(laplace_fit_steps)
+        self.laplace_points = int(laplace_points)
+        self.laplace_perturbations = int(laplace_perturbations)
+        self.laplace_scale = float(laplace_scale)
+        self.laplace_lm_iters = int(laplace_lm_iters)
+        self.laplace_prior_std = float(laplace_prior_std)
+        self.laplace_lr = float(laplace_lr)
         super().__init__(actions, dt, g, mass, I, sdf, sdf_start, granularity,
                          noise_mean, noise_std, start_state, mesh=mesh)
 
@@ -319,7 +333,8 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             K = self.render_steps
         n = ro.shape[0]
         return (out["image"], out["rgbs"].reshape(n, K, 3),
-                out["sigmas"].reshape(n, K))
+                out["sigmas"].reshape(n, K), ro, rd,
+                out["aggregated_density"])
 
     # ------------------------------------------------------------------- UQ
     def _gaussian_uq(self, rgbs, sigmas, image):
@@ -375,6 +390,122 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         ps = self.penalty_strength
         return jnp.clip(likelihood - ps * sigma_d_opt, -ps * 2, ps)
 
+    def _reward_laplace(self, likelihood, rmv, trace):
+        """Laplace-branch reward (NerfSimulator.py:170-181): the uncertainty
+        penalty is rmv * trace * num_perturbations."""
+        ps = self.penalty_strength
+        pen = ps * rmv * trace * self.laplace_perturbations
+        return jnp.clip(likelihood - pen, -ps * 2, ps)
+
+    def _laplace_uq(self, key, rays_o, rays_d, agg):
+        """In-scan Bayesian-Laplace UQ — the jitted form of the sequential
+        online branch (reference uncertain.py:180-231 + uncertainty/
+        quantification/bayesian_laplace.py:55-99 + hessian/methods.py:158-188):
+
+          X = rays_o + rays_d (one point per obs ray), y = aggregated
+          density; MAP-fit the sigma-net flat vector from a RANDOM normal
+          init (bayesian_laplace.py:58 overwrites the pretrained init —
+          reproduced) for each of `laplace_perturbations` spatially
+          perturbed copies of X (scale 0.3), Adam + StepLR(100, 0.1), best
+          (loss, theta) kept; then the production LM Hessian H = g g^T at
+          the LM iterate, posterior cov = (H + 1e-2 I)^-1, and the stats
+          the simulator consumes: trace(cov)/n and sqrt(mean(diag(cov)))/n.
+
+        H is rank one, so cov's trace/diag follow from Sherman-Morrison on
+        the gradient WITHOUT materializing the n^2 matrix — that is what
+        makes per-(sim, step) Laplace fits affordable inside vmap(scan).
+        Deltas vs the sequential path (documented): the point set is
+        stride-subsampled to `laplace_points` (the posterior over ~10^3
+        sigma-net weights saturates far below the 640k-ray set); the LM
+        iteration count is fixed (`laplace_lm_iters`) with where-based
+        lambda adaptation instead of host control flow.
+
+        Returns (trace, rmv)."""
+        import optax
+
+        P = self.laplace_points
+        n_rays = rays_o.shape[0]
+        idx = (jnp.arange(P) * n_rays) // max(P, 1)
+        X = (rays_o + rays_d)[idx]                       # [P, 3]
+        y = agg[idx]                                     # [P]
+
+        flat0 = self.net.get_sigma_net_flat(self.params)
+        n_theta = flat0.shape[0]
+        prior_var = self.laplace_prior_std ** 2
+
+        def nlp(theta, X_p):
+            p = self.net.set_sigma_net_flat(self.params, theta)
+            y_pred = self.net.density(p, X_p)["sigma"]
+            log_prior = -0.5 * jnp.sum(theta ** 2) / prior_var
+            log_lik = -0.5 * jnp.sum((y - y_pred) ** 2)
+            return -(log_prior + log_lik)
+
+        k_init, k_pert = jax.random.split(key)
+        theta0 = jax.random.normal(k_init, (n_theta,))
+        perts = jax.random.normal(
+            k_pert, (self.laplace_perturbations,) + X.shape) \
+            * self.laplace_scale
+
+        schedule = optax.exponential_decay(
+            self.laplace_lr, transition_steps=100, decay_rate=0.1,
+            staircase=True)
+        tx = optax.adam(schedule)
+
+        def map_fit(X_p):
+            opt_state = tx.init(theta0)
+
+            def body(i, carry):
+                theta, opt_state, best_loss, best_theta = carry
+                loss, grads = jax.value_and_grad(nlp)(theta, X_p)
+                updates, opt_state = tx.update(grads, opt_state, theta)
+                theta = optax.apply_updates(theta, updates)
+                better = loss < best_loss
+                return (theta, opt_state,
+                        jnp.where(better, loss, best_loss),
+                        jnp.where(better, theta, best_theta))
+
+            _, _, best_loss, best_theta = jax.lax.fori_loop(
+                0, self.laplace_fit_steps, body,
+                (theta0, opt_state, jnp.inf, theta0))
+            return best_loss, best_theta
+
+        losses, thetas = jax.lax.map(map_fit, X[None] + perts)
+        best = jnp.argmin(losses)
+        theta_map = thetas[best]
+
+        # --- LM iterate (methods.py:158-188). dx solves
+        # (g g^T + lmbda I) dx = -g  =>  dx = -g / (lmbda + |g|^2)
+        # (Sherman-Morrison specialized to the rank-1 H).
+        grad_fn = jax.grad(nlp)
+        f_x0 = nlp(theta_map, X)
+
+        def lm_body(i, carry):
+            x, lmbda, g_last, done = carry
+            g = grad_fn(x, X)
+            g_last = jnp.where(done, g_last, g)
+            dx = -g / (lmbda + jnp.sum(g ** 2))
+            converged = jnp.all(jnp.abs(dx) < 1e-12)
+            x_new = x + dx
+            improved = nlp(x_new, X) < f_x0
+            lmbda_new = jnp.where(improved, lmbda / 10.0, lmbda * 10.0)
+            keep = done | converged
+            return (jnp.where(keep, x, x_new),
+                    jnp.where(keep, lmbda, lmbda_new), g_last, keep)
+
+        _, _, g, _ = jax.lax.fori_loop(
+            0, self.laplace_lm_iters, lm_body,
+            (theta_map, jnp.asarray(0.01), jnp.zeros_like(theta_map),
+             jnp.asarray(False)))
+
+        # cov = (g g^T + eps I)^-1, eps = 1e-2 (bayesian_laplace.py:123):
+        # diag_i = 1/eps - g_i^2 / (eps * (eps + |g|^2))   (all >= 0)
+        eps = 1e-2
+        s = jnp.sum(g ** 2)
+        diag = 1.0 / eps - g ** 2 / (eps * (eps + s))
+        trace = jnp.sum(diag) / n_theta
+        rmv = jnp.sqrt(jnp.mean(diag)) / n_theta
+        return trace, rmv
+
     # ---------------------------------------------------------------- rollout
     def _sdf_check_interp(self, prev_state, state, step_idx):
         """4-point interpolated SDF check matching NerfSimulator.step's
@@ -398,7 +529,9 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             return super()._build()
         G = max(1, self.obs_group)
 
-        def run_impl(z, q_mean, q_chol, adapt_gain):
+        laplace = self.uq_method == "laplace"
+
+        def run_impl(z, q_mean, q_chol, adapt_gain, uq_key):
             """z/q_mean: [m, T, 12]; q_chol: [T, 12, 12] per-step Cholesky
             factors of the proposal covariance (diag(std) for MC / diagonal
             proposals). Population-level scan over steps: dynamics/UQ/
@@ -407,7 +540,8 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             Noise is formed in-scan so the reference's reward-adapted std
             (MonteCarlo.py:49-52, `adapt_gain=1`) feeds back into the NEXT
             step's draw; CEM samples the proposal verbatim
-            (CrossEntropyMethod.py:82, `adapt_gain=0`)."""
+            (CrossEntropyMethod.py:82, `adapt_gain=0`). uq_key seeds the
+            Laplace branch's random theta inits (per sim, per step)."""
             m = z.shape[0]
             zT = jnp.swapaxes(z, 0, 1)                    # [T, m, 12]
             qmT = jnp.swapaxes(q_mean, 0, 1)
@@ -416,18 +550,28 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             n_groups = -(-m // G)
             pad = n_groups * G - m
 
-            def render_uq(states):                        # [m, 12]
+            def render_uq(states, keys):                  # [m, 12], [m, 2]
                 sp = jnp.concatenate(
                     [states, jnp.zeros((pad, 12), states.dtype)], axis=0) \
                     if pad else states
+                kp = jnp.concatenate(
+                    [keys, jnp.broadcast_to(keys[:1],
+                                            (pad,) + keys.shape[1:])],
+                    axis=0) if pad else keys
 
-                def one(s):
-                    image, rgbs, sigmas = self._render_obs(s)
+                def one(s, k):
+                    image, rgbs, sigmas, ro, rd, agg = self._render_obs(s)
+                    if laplace:
+                        return self._laplace_uq(k, ro, rd, agg)
                     return self._gaussian_uq(rgbs, sigmas, image)
 
-                mu, sd = jax.lax.map(jax.vmap(one),
-                                     sp.reshape(n_groups, G, 12))
-                return mu.reshape(-1)[:m], sd.reshape(-1)[:m]
+                a, b = jax.lax.map(
+                    lambda args: jax.vmap(one)(*args),
+                    (sp.reshape(n_groups, G, 12),
+                     kp.reshape((n_groups, G) + kp.shape[1:])))
+                return a.reshape(-1)[:m], b.reshape(-1)[:m]
+
+            sim_ids = jnp.arange(m)
 
             def step(carry, inp):
                 states, done, reward_prev, t = carry
@@ -442,9 +586,16 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                                               self.invI))(states) + noise
                 nxt = jnp.where(done[:, None], states, nxt)
 
-                mu_d, sigma_d = render_uq(nxt)
+                key_t = jax.random.fold_in(uq_key, t)
+                keys = jax.vmap(jax.random.fold_in,
+                                (None, 0))(key_t, sim_ids)
+                uq_a, sigma_d = render_uq(nxt, keys)
                 loglik = jax.vmap(self._log_likelihood)(noise)
-                reward = self._reward(loglik, sigma_d)
+                if laplace:
+                    # uq_a = trace, sigma_d = rmv (NerfSimulator.py:170-181)
+                    reward = self._reward_laplace(loglik, sigma_d, uq_a)
+                else:
+                    reward = self._reward(loglik, sigma_d)
 
                 hit, sdf_val, pos = jax.vmap(
                     lambda p, st: self._sdf_check_interp(p, st, t))(states,
@@ -476,12 +627,13 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         return jax.jit(run_impl)
 
     def run(self, z, q_mean=None, q_std=None, q_chol=None,
-            adapt_std: bool = True):
+            adapt_std: bool = True, uq_key=None):
         """z: [n, T, 12] standard normals. Proposal: either diagonal q_std
         [T, 12] or full-covariance Cholesky factors q_chol [T, 12, 12].
         adapt_std=True applies the reference MC's reward-adapted noise std
         in-scan (MonteCarlo.py:49-52); CEM passes False (the reference CEM
-        samples its proposal verbatim, CrossEntropyMethod.py:82)."""
+        samples its proposal verbatim, CrossEntropyMethod.py:82). uq_key
+        seeds the Laplace UQ's random theta inits (ignored for Gaussian)."""
         z = jnp.asarray(z, dtype=jnp.float32)
         n = z.shape[0]
         if q_mean is None:
@@ -500,9 +652,11 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             from ..parallel.mesh import shard_batch
             z = shard_batch(z, self.mesh, batch_axis=0)
             qm = shard_batch(qm, self.mesh, batch_axis=0)
+        if uq_key is None:
+            uq_key = jax.random.PRNGKey(0)
         return self._run(z, qm, q_chol,
                          jnp.asarray(1.0 if adapt_std else 0.0,
-                                     dtype=jnp.float32))
+                                     dtype=jnp.float32), uq_key)
 
     # --------------------------------------------------------------- drivers
     def monte_carlo(self, key, n_sims: int):

