@@ -63,7 +63,8 @@ def _occupied_cells(state, grid_size: int):
 
 def distill(teacher_net, teacher_params, state, key, steps: int = 2000,
             batch: int = 32768, lr: float = 2e-3, surface_frac: float = 0.5,
-            cfg: NetworkConfig = None, log_every: int = 0):
+            cfg: NetworkConfig = None, log_every: int = 0,
+            sigma_opacity_weight: float = 0.0):
     """Returns (student_net, student_params, final_loss).
 
     teacher_params should be the fast-inference layout (to_folded) — the
@@ -92,8 +93,11 @@ def distill(teacher_net, teacher_params, state, key, steps: int = 2000,
     # opacity weight for the color loss: one reference-scale march step
     dt_ref = 2.0 * np.sqrt(3.0) / 512.0
 
+    # teacher_params/cells enter as ARGUMENTS: closing over them would
+    # inline the multi-MB teacher table as an HLO constant, which blows
+    # past the remote-compile request limit on the tunneled TPU
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, teacher_params, cells):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         ci = jax.random.randint(k1, (n_surf,), 0, n_cells)
         x_surf = jnp.take(cells, ci, axis=0) * bound \
@@ -113,8 +117,13 @@ def distill(teacher_net, teacher_params, state, key, steps: int = 2000,
 
         def loss_fn(p):
             sig_s, rgb_s = student.apply(p, x, d)
-            l_sig = jnp.mean(optax.huber_loss(
-                jnp.log1p(sig_s), jnp.log1p(sig_t), delta=1.0))
+            # optional extra weight on visible-surface samples: the render
+            # only ever sees sigma through alpha = 1-exp(-dt sigma), so
+            # errors at opaque samples matter most
+            w_sig = 1.0 + sigma_opacity_weight * w_rgb
+            l_sig = jnp.sum(w_sig * optax.huber_loss(
+                jnp.log1p(sig_s), jnp.log1p(sig_t), delta=1.0)) \
+                / jnp.sum(w_sig)
             l_rgb = jnp.sum(w_rgb[:, None] * (rgb_s - rgb_t) ** 2) \
                 / (3.0 * jnp.sum(w_rgb) + 1e-6)
             return l_sig + l_rgb
@@ -127,7 +136,8 @@ def distill(teacher_net, teacher_params, state, key, steps: int = 2000,
     loss = None
     for i in range(steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, opt_state, loss = step(params, opt_state, sub,
+                                       teacher_params, cells)
         if log_every and (i + 1) % log_every == 0:
             print(f"[distill] step {i + 1}/{steps} loss {float(loss):.5f}")
     return student, params, float(loss)

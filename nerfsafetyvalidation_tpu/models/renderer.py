@@ -517,7 +517,7 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
                       tile: int = 131072, max_samples: int = 16,
                       max_steps: int = 512, dt_gamma: float = 0.0,
                       bg_color: float = 1.0, samples_per_hit: int = 2,
-                      march_tile: int = 32768):
+                      march_tile: int = 32768, return_moments: bool = False):
     """Whole-frame fast path: march everything, then shade rays SORTED by
     their sample count so empty-sky tiles skip the encode+MLP entirely.
 
@@ -548,13 +548,16 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
     # one compiled program per (net, geometry, knobs) — rebuilding the jit
     # closure per call would re-trace every frame
     cache_key = (id(net), N, n_tiles, tile, K, max_steps, float(dt_gamma),
-                 float(bg_color), samples_per_hit, march_tile)
+                 float(bg_color), samples_per_hit, march_tile, return_moments)
     hit = _FRAME_FAST_CACHE.get(cache_key)
     if hit is not None and hit[0] is net:
-        img, depth, agg, ws, dabs = hit[1](params, state, rays_o, rays_d)
-        return {"image": img[:N0], "depth": depth[:N0],
-                "aggregated_density": agg[:N0], "weights_sum": ws[:N0],
-                "depth_abs": dabs[:N0]}
+        img, depth, agg, ws, dabs, mom = hit[1](params, state, rays_o, rays_d)
+        out = {"image": img[:N0], "depth": depth[:N0],
+               "aggregated_density": agg[:N0], "weights_sum": ws[:N0],
+               "depth_abs": dabs[:N0]}
+        if return_moments:
+            out["uq_moments"] = mom
+        return out
 
     @jax.jit
     def render(params, state, rays_o, rays_d):
@@ -596,9 +599,22 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
 
         # ---- sort: unfinished rays first (they need phase 2), then by
         # sample count so shading buckets stay tight; ONE permutation
-        # serves both the phase-2 early exit and the shade skip
+        # serves both the phase-2 early exit and the shade skip.
+        # The key alphabet is tiny (2K+2 values), so a stable COUNTING
+        # sort — one-hot cumsums + a narrow int32 scatter — replaces the
+        # O(N log^2 N) bitonic argsort (~50 ms/frame at 640k rays).
         active = (t_c < fars) & (count_c < K)
-        order = jnp.argsort(-(active.astype(jnp.int32) * (K + 1) + count_c))
+        key_desc = (2 * K + 1) - (active.astype(jnp.int32) * (K + 1)
+                                  + count_c)                  # ascending key
+        onehot = jax.nn.one_hot(key_desc, 2 * K + 2, dtype=jnp.int32)
+        csum = jnp.cumsum(onehot, axis=0)                     # [N, 2K+2]
+        rank = jnp.sum(csum * onehot, axis=-1) - 1            # rank in key
+        counts = csum[-1]
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(counts)[:-1]])
+        pos = jnp.take(starts, key_desc) + rank               # target slot
+        order = jnp.zeros_like(pos).at[pos].set(
+            jnp.arange(N, dtype=pos.dtype))
         t_s = jnp.take(t_c, order, axis=0)
         ts_s = jnp.take(ts_c, order, axis=0)
         count_s = jnp.take(count_c, order, axis=0)
@@ -644,7 +660,8 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
             def empty(_):
                 img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
                 return (img, jnp.zeros((tile,)), jnp.zeros((tile,)),
-                        jnp.zeros((tile,)), jnp.zeros((tile,)))
+                        jnp.zeros((tile,)), jnp.zeros((tile,)),
+                        jnp.zeros((4,)))
 
             def make_shade(Kb):
                 def shade(_):
@@ -660,16 +677,24 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
                     dirs = jnp.broadcast_to(d[:, None, :],
                                             (tile, Kb, 3)).reshape(-1, 3)
                     sigmas, rgbs = net.apply(params, xyzs, dirs)
+                    sig_m = jnp.where(mask, sigmas.reshape(tile, Kb), 0.0)
+                    rgb_m = rgbs.reshape(tile, Kb, 3)
                     res = composite_marched(
-                        sigmas.reshape(tile, Kb), rgbs.reshape(tile, Kb, 3),
+                        sigmas.reshape(tile, Kb), rgb_m,
                         dts, rs, ts_b, mask, nr, fr,
                         density_scale=cfg.density_scale)
                     img = res["image"] \
                         + (1.0 - res["weights_sum"])[..., None] * bg_color
                     safe = jnp.where(fr > nr, fr - nr, 1.0)
                     depth = jnp.clip(res["depth"] - nr, 0.0, None) / safe
+                    # Gaussian-UQ sample moments (masked slots read as
+                    # empty-space sigma=0, matching the uniform path's
+                    # near-zero sky sigmas): [S_c2d2, S_cd, S_d, S_d2]
+                    cd = rgb_m * sig_m[..., None]
+                    mom = jnp.stack([jnp.sum(cd * cd), jnp.sum(cd),
+                                     jnp.sum(sig_m), jnp.sum(sig_m ** 2)])
                     return (img, depth, res["aggregated_density"],
-                            res["weights_sum"], res["depth_abs"])
+                            res["weights_sum"], res["depth_abs"], mom)
                 return shade
 
             mx = jnp.max(count_t)
@@ -679,7 +704,7 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
             return jax.lax.switch(idx, [empty] + [make_shade(b)
                                                   for b in buckets], None)
 
-        img, depth, agg, ws, dabs = jax.lax.map(
+        img, depth, agg, ws, dabs, mom = jax.lax.map(
             shade_tile, (o_s.reshape(n_tiles, tile, 3),
                          d_s.reshape(n_tiles, tile, 3),
                          ts_s.reshape(n_tiles, tile, K),
@@ -687,18 +712,22 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
                          nears_s.reshape(n_tiles, tile),
                          fars_s.reshape(n_tiles, tile)))
 
-        inv = jnp.argsort(order)
+        inv = pos                         # pos IS the inverse permutation
         return (jnp.take(img.reshape(N, 3), inv, axis=0),
                 jnp.take(depth.reshape(N), inv, axis=0),
                 jnp.take(agg.reshape(N), inv, axis=0),
                 jnp.take(ws.reshape(N), inv, axis=0),
-                jnp.take(dabs.reshape(N), inv, axis=0))
+                jnp.take(dabs.reshape(N), inv, axis=0),
+                jnp.sum(mom, axis=0))
 
     _FRAME_FAST_CACHE[cache_key] = (net, render)
-    img, depth, agg, ws, dabs = render(params, state, rays_o, rays_d)
-    return {"image": img[:N0], "depth": depth[:N0],
-            "aggregated_density": agg[:N0], "weights_sum": ws[:N0],
-            "depth_abs": dabs[:N0]}
+    img, depth, agg, ws, dabs, mom = render(params, state, rays_o, rays_d)
+    out = {"image": img[:N0], "depth": depth[:N0],
+           "aggregated_density": agg[:N0], "weights_sum": ws[:N0],
+           "depth_abs": dabs[:N0]}
+    if return_moments:
+        out["uq_moments"] = mom
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -714,7 +743,7 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                         max_steps: int = 512, dt_gamma: float = 1.0 / 64,
                         bg_color: float = 1.0, margin_cells: float = 6.0,
                         prepass_tile: int = 16384, prepass_march_tile: int = 8192,
-                        samples_per_hit: int = 2):
+                        samples_per_hit: int = 2, return_moments: bool = False):
     """Two-pass frame render built around the measured gather wall
     (BENCH_NOTES "ceiling proof"): the per-cell DDA march — whose serial
     occupancy gathers dominate render time — runs only for a low-res
@@ -762,7 +791,8 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
     n_tiles = (N + tile - 1) // tile
     Np = n_tiles * tile
 
-    cache_key = (id(net), H, W, f, K, tile, float(bg_color), float(margin))
+    cache_key = (id(net), H, W, f, K, tile, float(bg_color), float(margin),
+                 return_moments)
     hit_fn = _FRAME_GUIDED_CACHE.get(cache_key)
     if hit_fn is None or hit_fn[0] is not net:
 
@@ -799,8 +829,17 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
             hit = up(anyhit.astype(jnp.float32)) > 0.5
             hit = hit & (fars > nears) & (t1 > t0)
 
-            # hits first; all-sky tiles skip shading entirely
-            order = jnp.argsort(~hit)
+            # hits first; all-sky tiles skip shading entirely. The key is
+            # BOOLEAN, so a stable partition via two cumsums + one narrow
+            # int32 scatter replaces the O(N log^2 N) bitonic argsort
+            # (measured ~50 ms/frame back at 640k rays; BENCH_NOTES
+            # "ceiling proof": 4B scatters are ~18 ns/row, wide-row sorts
+            # are the expensive path). pos is ALSO the inverse permutation.
+            n_hit = jnp.sum(hit)
+            pos = jnp.where(hit, jnp.cumsum(hit) - 1,
+                            n_hit + jnp.cumsum(~hit) - 1)
+            order = jnp.zeros_like(pos).at[pos].set(
+                jnp.arange(pos.shape[0], dtype=pos.dtype))
             o_s = jnp.take(rays_o, order, axis=0)
             d_s = jnp.take(rays_d, order, axis=0)
             t0_s = jnp.take(t0, order, axis=0)
@@ -828,7 +867,7 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                 def empty(_):
                     img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
                     return (img, jnp.zeros((tile,)), jnp.zeros((tile,)),
-                            jnp.zeros((tile,)))
+                            jnp.zeros((tile,)), jnp.zeros((4,)))
 
                 def shade(_):
                     dtw = (tb - ta) / K                              # [tile]
@@ -856,11 +895,14 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                     depth = jnp.sum(wgt * jnp.clip(z - nr[:, None], 0.0,
                                                    None), axis=-1) / safe
                     agg = jnp.sum(wgt * sigmas, axis=-1)
-                    return img, depth, agg, ws
+                    cd = rgbs * sigmas[..., None]
+                    mom = jnp.stack([jnp.sum(cd * cd), jnp.sum(cd),
+                                     jnp.sum(sigmas), jnp.sum(sigmas ** 2)])
+                    return img, depth, agg, ws, mom
 
                 return jax.lax.cond(jnp.any(ht), shade, empty, None)
 
-            img, depth, agg, ws = jax.lax.map(
+            img, depth, agg, ws, mom = jax.lax.map(
                 shade_tile, (o_s.reshape(n_tiles, tile, 3),
                              d_s.reshape(n_tiles, tile, 3),
                              t0_s.reshape(n_tiles, tile),
@@ -868,18 +910,22 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                              nr_s.reshape(n_tiles, tile),
                              fr_s.reshape(n_tiles, tile),
                              hit_s.reshape(n_tiles, tile)))
-            inv = jnp.argsort(order)
+            inv = pos
             return (jnp.take(img.reshape(Np, 3)[:N], inv, axis=0),
                     jnp.take(depth.reshape(Np)[:N], inv, axis=0),
                     jnp.take(agg.reshape(Np)[:N], inv, axis=0),
-                    jnp.take(ws.reshape(Np)[:N], inv, axis=0))
+                    jnp.take(ws.reshape(Np)[:N], inv, axis=0),
+                    jnp.sum(mom, axis=0))
 
         _FRAME_GUIDED_CACHE[cache_key] = (net, fine)
     fine = _FRAME_GUIDED_CACHE[cache_key][1]
-    img, depth, agg, ws = fine(params, rays_o, rays_d, pre["depth_abs"],
-                               pre["weights_sum"])
-    return {"image": img, "depth": depth, "aggregated_density": agg,
-            "weights_sum": ws}
+    img, depth, agg, ws, mom = fine(params, rays_o, rays_d, pre["depth_abs"],
+                                    pre["weights_sum"])
+    out = {"image": img, "depth": depth, "aggregated_density": agg,
+           "weights_sum": ws}
+    if return_moments:
+        out["uq_moments"] = mom
+    return out
 
 
 def _round_up(x: int, m: int) -> int:

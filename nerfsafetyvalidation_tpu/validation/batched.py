@@ -260,7 +260,8 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                  laplace_fit_steps=100, laplace_points=256,
                  laplace_perturbations=3, laplace_scale=0.3,
                  laplace_lm_iters=20, laplace_prior_std=1.0,
-                 laplace_lr=1e-2):
+                 laplace_lr=1e-2, obs_render="uniform",
+                 obs_prepass_factor=8, obs_dt_gamma=1.0 / 64):
         # obs_group: sims whose observation renders run CONCURRENTLY (vmap);
         # groups run serially via lax.map. The render is the memory-heavy
         # part of a step (encode intermediates scale with rays*samples*sims),
@@ -292,6 +293,24 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         self.laplace_lm_iters = int(laplace_lm_iters)
         self.laplace_prior_std = float(laplace_prior_std)
         self.laplace_lr = float(laplace_lr)
+        # obs_render picks the in-scan observation render path:
+        #   "uniform" - R.run / run_grid (per-sample rgbs/sigmas
+        #               materialized; the small-obs default)
+        #   "fast"    - render_frame_fast (marched + sorted shading) with
+        #               in-pass UQ moments; scales to reference-size obs
+        #               (800^2, envConfig.json:51-52) without the
+        #               [rays, K, 3] intermediates
+        #   "guided"  - render_frame_guided (marched prepass + windowed
+        #               dense fine pass) with in-pass UQ moments; the
+        #               gather-minimal path for large obs
+        if obs_render not in ("uniform", "fast", "guided"):
+            raise ValueError(f"unknown obs_render {obs_render!r}")
+        if obs_render in ("fast", "guided") and renderer_state is None:
+            raise ValueError(f"obs_render={obs_render!r} needs the marched "
+                             "renderer_state (occupancy grid)")
+        self.obs_render = obs_render
+        self.obs_prepass_factor = int(obs_prepass_factor)
+        self.obs_dt_gamma = float(obs_dt_gamma)
         super().__init__(actions, dt, g, mass, I, sdf, sdf_start, granularity,
                          noise_mean, noise_std, start_state, mesh=mesh)
 
@@ -309,10 +328,11 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         return pose.at[:3, 3].set(t)
 
     def _render_obs(self, state):
-        """Reduced-resolution observation render (the reference's 800^2
-        staged render, envConfig.json:51-52, shrunk to obs_res^2 for the
-        in-scan path). Returns (image [R^2,3], rgbs [R^2,S,3],
-        sigmas [R^2,S])."""
+        """Observation render (the reference's 800^2 staged render,
+        envConfig.json:51-52, at obs_res^2 for the in-scan path). Returns a
+        dict: image [R^2,3], rays_o/rays_d [R^2,3], agg [R^2], K (static),
+        plus either per-sample rgbs/sigmas (obs_render="uniform") or the
+        in-pass Gaussian-UQ moments [4] (frame paths)."""
         from ..data.rays import get_rays
         from ..models import renderer as R
 
@@ -321,20 +341,46 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                         self.obs_res)
         ro = rays["rays_o"].reshape(-1, 3)
         rd = rays["rays_d"].reshape(-1, 3)
-        if self.renderer_state is not None:
+        n = ro.shape[0]
+        res = {"rays_o": ro, "rays_d": rd}
+        if self.obs_render == "fast":
+            tile = min(131072, -(-n // 1024) * 1024)
+            out = R.render_frame_fast(
+                self.net, self.params, self.renderer_state, ro, rd,
+                tile=tile, max_samples=self.grid_max_samples, max_steps=512,
+                dt_gamma=self.obs_dt_gamma, samples_per_hit=2,
+                march_tile=min(32768, tile), return_moments=True)
+            res["K"] = self.grid_max_samples
+            res["moments"] = out["uq_moments"]
+        elif self.obs_render == "guided":
+            out = R.render_frame_guided(
+                self.net, self.params, self.renderer_state, ro, rd,
+                H=self.obs_res, W=self.obs_res,
+                prepass_factor=self.obs_prepass_factor,
+                max_samples=self.grid_max_samples,
+                tile=min(131072, -(-n // 1024) * 1024), max_steps=512,
+                dt_gamma=self.obs_dt_gamma, return_moments=True)
+            res["K"] = self.grid_max_samples
+            res["moments"] = out["uq_moments"]
+        elif self.renderer_state is not None:
             out = R.run_grid(self.net, self.params, self.renderer_state,
                              ro, rd, max_samples=self.grid_max_samples,
                              max_steps=512, bg_color=1.0, samples_per_hit=2)
             K = self.grid_max_samples
+            res["K"] = K
+            res["rgbs"] = out["rgbs"].reshape(n, K, 3)
+            res["sigmas"] = out["sigmas"].reshape(n, K)
         else:
             out = R.run(self.net, self.params, ro, rd,
                         num_steps=self.render_steps, upsample_steps=0,
                         bg_color=1.0)
             K = self.render_steps
-        n = ro.shape[0]
-        return (out["image"], out["rgbs"].reshape(n, K, 3),
-                out["sigmas"].reshape(n, K), ro, rd,
-                out["aggregated_density"])
+            res["K"] = K
+            res["rgbs"] = out["rgbs"].reshape(n, K, 3)
+            res["sigmas"] = out["sigmas"].reshape(n, K)
+        res["image"] = out["image"]
+        res["agg"] = out["aggregated_density"]
+        return res
 
     # ------------------------------------------------------------------- UQ
     def _gaussian_uq(self, rgbs, sigmas, image):
@@ -343,11 +389,23 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         :24-52) minimized with a fixed-iteration Adam instead of host scipy."""
         c = rgbs
         d = sigmas[..., None]
-        S_c2d2 = jnp.sum((c * d) ** 2)
-        S_cd = jnp.sum(c * d)
-        r_mean = jnp.mean(image)
-        d_mean = jnp.mean(d)
-        d_std = jnp.std(d)
+        return self._gaussian_uq_moments(
+            jnp.sum((c * d) ** 2), jnp.sum(c * d), jnp.mean(image),
+            jnp.mean(d), jnp.std(d))
+
+    def _gaussian_uq_from_moments(self, moments, image, n_samples):
+        """Gaussian UQ from the frame renderers' in-pass sample moments
+        ([S_c2d2, S_cd, S_d, S_d2]; see render_frame_fast return_moments) —
+        the UQ objective only ever consumes these reductions, so the
+        [rays, K, 3] rgbs/sigmas never materialize at reference obs sizes."""
+        S_c2d2, S_cd, S_d, S_d2 = (moments[0], moments[1], moments[2],
+                                   moments[3])
+        d_mean = S_d / n_samples
+        d_var = jnp.maximum(S_d2 / n_samples - d_mean ** 2, 0.0)
+        return self._gaussian_uq_moments(S_c2d2, S_cd, jnp.mean(image),
+                                         d_mean, jnp.sqrt(d_var))
+
+    def _gaussian_uq_moments(self, S_c2d2, S_cd, r_mean, d_mean, d_std):
 
         # a density-collapsed field gives S_c2d2 ~ 0: the objective blows
         # up to ~(r_mean^2 / 1e-30) and its gradients overflow; scipy on the
@@ -560,10 +618,16 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                     axis=0) if pad else keys
 
                 def one(s, k):
-                    image, rgbs, sigmas, ro, rd, agg = self._render_obs(s)
+                    obs = self._render_obs(s)
                     if laplace:
-                        return self._laplace_uq(k, ro, rd, agg)
-                    return self._gaussian_uq(rgbs, sigmas, image)
+                        return self._laplace_uq(k, obs["rays_o"],
+                                                obs["rays_d"], obs["agg"])
+                    if "moments" in obs:
+                        n_samp = obs["rays_o"].shape[0] * obs["K"]
+                        return self._gaussian_uq_from_moments(
+                            obs["moments"], obs["image"], float(n_samp))
+                    return self._gaussian_uq(obs["rgbs"], obs["sigmas"],
+                                             obs["image"])
 
                 a, b = jax.lax.map(
                     lambda args: jax.vmap(one)(*args),

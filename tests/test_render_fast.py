@@ -94,3 +94,30 @@ def test_fast_path_sky_only_is_background(scene):
                               ro + jnp.asarray([0.0, 0.0, -1.0]),
                               -rd, tile=64, max_samples=16, max_steps=64)
     np.testing.assert_allclose(np.asarray(out["image"]), 1.0, atol=1e-6)
+
+
+def test_fast_path_uq_moments(scene):
+    """return_moments: the in-pass Gaussian-UQ sample moments must equal
+    the moments computed from the march's own masked sigmas/rgbs (the
+    sums the batched engine's UQ consumes at reference obs sizes)."""
+    net, params, state, ro, rd = scene
+    R._FRAME_FAST_CACHE.clear()
+    out = R.render_frame_fast(net, params, state, ro, rd, tile=64,
+                              max_samples=16, max_steps=64, march_tile=32,
+                              return_moments=True)
+    aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+    nears, fars = near_far_from_aabb(ro, rd, aabb, net.cfg.min_near)
+    m = march_rays(ro, rd, nears, fars, state.density_bitfield,
+                   bound=1.0, cascade=1, grid_size=128, max_samples=16,
+                   max_steps=64, skip_grid=state.skip_grid,
+                   samples_per_hit=2)
+    n = ro.shape[0]
+    sig, rgb = net.apply(params, m["xyzs"].reshape(-1, 3),
+                         jnp.broadcast_to(rd[:, None, :],
+                                          (n, 16, 3)).reshape(-1, 3))
+    sig = jnp.where(m["mask"], sig.reshape(n, 16), 0.0)
+    cd = rgb.reshape(n, 16, 3) * sig[..., None]
+    ref = np.asarray(jnp.stack([jnp.sum(cd * cd), jnp.sum(cd),
+                                jnp.sum(sig), jnp.sum(sig ** 2)]))
+    np.testing.assert_allclose(np.asarray(out["uq_moments"]), ref,
+                               rtol=1e-3, atol=1e-4)

@@ -280,3 +280,97 @@ def test_full_engine_uq_degenerate_density_finite():
     image = jnp.ones((16, 3))
     mu, sd = eng._gaussian_uq(rgbs, sigmas, image)
     assert np.isfinite(float(mu)) and np.isfinite(float(sd))
+
+
+def test_full_engine_uq_from_moments_matches_direct():
+    """_gaussian_uq_from_moments must equal _gaussian_uq when fed the
+    moments of the same sample set (the frame renderers compute these
+    in-pass so reference-size observations never materialize rgbs/sigmas)."""
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.validation.batched import (
+        FullBatchedRolloutEngine)
+
+    eng = FullBatchedRolloutEngine.__new__(FullBatchedRolloutEngine)
+    eng.uq_iters = 50
+    eng.uq_lr = 1e-2
+    rng = np.random.default_rng(3)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (16, 4, 3)), jnp.float32)
+    sigmas = jnp.asarray(rng.uniform(0, 5, (16, 4)), jnp.float32)
+    image = jnp.asarray(rng.uniform(0, 1, (16, 3)), jnp.float32)
+    mu0, sd0 = eng._gaussian_uq(rgbs, sigmas, image)
+    cd = rgbs * sigmas[..., None]
+    mom = jnp.stack([jnp.sum(cd * cd), jnp.sum(cd), jnp.sum(sigmas),
+                     jnp.sum(sigmas ** 2)])
+    mu1, sd1 = eng._gaussian_uq_from_moments(mom, image, float(16 * 4))
+    np.testing.assert_allclose(float(mu1), float(mu0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(sd1), float(sd0), rtol=1e-5, atol=1e-6)
+
+
+def test_full_engine_obs_render_frame_paths():
+    """obs_render='fast'/'guided' run the marched frame renderers with
+    in-pass UQ moments inside the scan — the reference-obs-size scaling
+    path (VERDICT r2 item 2). Smoke: finite UQ/reward, identical dynamics
+    across obs paths (the render only feeds the reward)."""
+    import jax
+    import jax.numpy as jnp
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+    from nerfsafetyvalidation_tpu.models import renderer as R
+    from nerfsafetyvalidation_tpu.ops.ray_ops import (packbits, morton3d,
+                                                      occupancy_to_skip_grid)
+    from nerfsafetyvalidation_tpu.validation.batched import (
+        FullBatchedRolloutEngine)
+
+    cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                        grid_ray=True)
+    net = NeRFNetwork(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    H = cfg.grid_size
+    g = np.arange(H)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    c = 2.0 * (np.stack([xx, yy, zz], -1) + 0.5) / H - 1.0
+    occ = (np.linalg.norm(c, axis=-1) < 0.4).astype(np.float32) * 100
+    grid = np.zeros((cfg.cascade, H ** 3), np.float32)
+    coords = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+    grid[0, np.asarray(morton3d(jnp.asarray(coords)))] = occ.ravel()
+    gridj = jnp.asarray(grid)
+    state = R.RendererState(gridj, packbits(gridj, 0.5), jnp.asarray(1.0),
+                            jnp.asarray(1),
+                            occupancy_to_skip_grid(gridj > 0.5, H))
+
+    kw = dict(
+        actions=np.tile(np.asarray([10.2, 0.01, 0.0, 0.0], np.float32),
+                        (2, 1)),
+        dt=0.1, g=10.0, mass=1.0, I=np.eye(3, dtype=np.float32),
+        sdf=np.full((96, 92, 24), 1.0, np.float32),
+        sdf_start=[-1.4, -1.3, -0.1], granularity=40,
+        noise_mean=np.zeros(12, np.float32),
+        noise_std=np.full(12, 0.01, np.float32),
+        start_state=np.concatenate([
+            np.asarray([-0.5, -0.5, 0.1]), np.zeros(9)]).astype(np.float32),
+        net=net, params=params, obs_res=16, grid_max_samples=8,
+        base_intrinsics=(10.0, 10.0, 8.0, 8.0), base_res=16,
+        renderer_state=state)
+    z = np.random.default_rng(5).normal(size=(2, 2, 12)).astype(np.float32)
+
+    outs = {}
+    for mode in ("fast", "guided"):
+        eng = FullBatchedRolloutEngine(obs_render=mode,
+                                       obs_prepass_factor=4, **kw)
+        out = eng.run(z)
+        sig = np.asarray(out["sigma_d"])
+        rew = np.asarray(out["reward"])
+        assert sig.shape == (2, 2) and np.all(np.isfinite(sig))
+        assert np.all(sig >= 0) and np.all(np.isfinite(rew))
+        outs[mode] = out
+
+    # the obs path feeds only the reward; dynamics/SDF must be identical
+    np.testing.assert_allclose(np.asarray(outs["fast"]["positions"]),
+                               np.asarray(outs["guided"]["positions"]),
+                               rtol=1e-6, atol=1e-7)
+
+    # renderer_state is required for the frame paths
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        FullBatchedRolloutEngine(obs_render="fast",
+                                 **{**kw, "renderer_state": None})
