@@ -87,6 +87,15 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--batched_rollouts", action="store_true",
                         help="run the vmapped TPU rollout engine instead of "
                              "the sequential loop")
+    parser.add_argument("--closed_loop", action="store_true",
+                        help="with --batched_rollouts: run the estimator "
+                             "(N_iter Adam pose fit + EKF covariance) and "
+                             "the fixed-horizon replan INSIDE the rollout "
+                             "scan (validation/closed_loop.py) — the full "
+                             "filtered-MPC loop per population member")
+    parser.add_argument("--closed_loop_obs_res", type=int, default=32,
+                        help="measurement-pixel grid resolution for the "
+                             "in-scan estimator (fixed interest mask)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard ray batches over all local devices")
     return parser

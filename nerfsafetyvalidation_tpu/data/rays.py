@@ -97,6 +97,33 @@ def get_rays(poses, intrinsics, H: int, W: int, N: int = -1, error_map=None,
     return results
 
 
+def rays_for_pixels(pose, intrinsics, coords):
+    """Rays for specific (row, col) pixel coordinates — the traceable analog
+    of `get_rays(pose, intr, H, W)["rays_o"].reshape(H, W, 3)[coords]` used
+    by the estimator's measurement loop (reference estimator_helpers.py
+    :191-225 indexes the full-frame ray grid by interest-region pixels; the
+    in-scan closed-loop engine generates only those rays instead).
+
+    pose: [4, 4] c2w; coords: [B, 2] integer (row, col).
+    Returns (rays_o [B, 3], rays_d [B, 3]) — bit-identical to the indexed
+    full-frame grid (same +0.5 pixel centers, normalization and HIGHEST-
+    precision rotation as get_rays above)."""
+    pose = jnp.asarray(pose, dtype=jnp.float32)
+    fx, fy, cx, cy = [float(v) for v in np.asarray(intrinsics).reshape(-1)[:4]]
+    i = coords[:, 1].astype(jnp.float32) + 0.5          # x / column
+    j = coords[:, 0].astype(jnp.float32) + 0.5          # y / row
+    zs = jnp.ones_like(i)
+    xs = (i - cx) / fx * zs
+    ys = (j - cy) / fy * zs
+    directions = jnp.stack([xs, ys, zs], axis=-1)
+    directions = directions / jnp.linalg.norm(directions, axis=-1,
+                                              keepdims=True)
+    rays_d = jnp.einsum("nk,jk->nj", directions, pose[:3, :3],
+                        precision=jax.lax.Precision.HIGHEST)
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
 def rand_poses(key, size: int, radius: float = 1.0,
                theta_range=(np.pi / 3, 2 * np.pi / 3),
                phi_range=(0.0, 2 * np.pi)):

@@ -41,14 +41,10 @@ def drone_dynamics(state, action, dt, g, mass, I, invI):
     dv = (jnp.asarray([0.0, 0.0, -mass * g]) + R @ sum_action) / mass
     domega = invI @ (tau - jnp.cross(omega, I @ omega))
 
-    # SO(3) exponential propagation, theta==0-safe (agent_helpers.py:128-139)
-    angle = omega * dt
-    theta = jnp.linalg.norm(angle)
-    safe = jnp.where(theta == 0, 1.0, theta)
-    K = skew_matrix(angle / safe)
-    exp_i = jnp.eye(3) + jnp.sin(theta) * K + (1 - jnp.cos(theta)) * (K @ K)
-    exp_i = jnp.where(theta == 0, jnp.eye(3), exp_i)
-    next_R = R @ exp_i
+    # SO(3) exponential propagation (agent_helpers.py:128-139) — via the
+    # Taylor-guarded Rodrigues form so the estimator's dynamics Jacobian
+    # (jacfwd through this function) is finite at omega = 0
+    next_R = R @ vec_to_rot_matrix(omega * dt)
 
     return jnp.concatenate([
         pos + v * dt,

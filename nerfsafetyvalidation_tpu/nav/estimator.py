@@ -72,6 +72,14 @@ class Estimator:
         self.show_rate = filter_cfg.get("show_rate", [20, 100])
         self.error_print_rate, self.render_rate = self.show_rate
 
+        # fixed interest-pixel override ([B, 2] (row, col) int): bypasses
+        # find_POI + dilation + RNG batch sampling with a deterministic
+        # pixel set. This is the cross-check hook for the in-scan
+        # closed-loop engine (validation/closed_loop.py), whose canned
+        # interest mask must match the sequential estimator bit-for-bit.
+        fc = filter_cfg.get("fixed_coords")
+        self.fixed_coords = None if fc is None else np.asarray(fc, dtype=int)
+
         self.xt = jnp.asarray(start_state, dtype=jnp.float32)
         self.sig = jnp.asarray(filter_cfg["sig0"], dtype=jnp.float32)
         self.Q = jnp.asarray(filter_cfg["Q"], dtype=jnp.float32)
@@ -172,6 +180,21 @@ class Estimator:
         """estimator_helpers.py:77-189. sensor_image: uint8 [H, W, 3]."""
         obs_img = np.asarray(sensor_image)
         W_obs, H_obs = obs_img.shape[0], obs_img.shape[1]
+
+        if self.fixed_coords is not None:
+            target = jnp.asarray(obs_img.astype(np.float32) / 255.0)
+            batch = jnp.asarray(self.fixed_coords, dtype=jnp.int32)
+            optimized0 = jnp.asarray(start_state) + 1e-6
+            if self._fit is None:
+                self._fit = self._build_fit()
+            optimized, losses = self._fit(optimized0,
+                                          jnp.asarray(start_state),
+                                          sig, target, batch)
+            self.target = target
+            self.batch = batch
+            self.losses = np.asarray(losses).tolist()
+            self.states = [np.asarray(optimized).tolist()]
+            return optimized, True
 
         POI, extras = find_POI(obs_img, render=self.render_viz)
         print(f"Found {POI.shape[0]} features")

@@ -64,41 +64,51 @@ def _acos_safe(x, eps=1e-7):
 
 
 def rot_matrix_to_vec(R):
-    """[..., 3, 3] -> [..., 3] axis-angle (math_utils.py:111-150)."""
+    """[..., 3, 3] -> [..., 3] axis-angle (math_utils.py:111-150).
+
+    vec = angle / (2 sin angle) * (R - R^T)^vee, with the smooth factor
+    c(angle) = angle / (2 sin angle) Taylor-guarded near angle = 0
+    (c -> 1/2 + angle^2/12): the reference's 1/(2 sin(angle + 1e-10))
+    form has ~1e10-scale gradients at the identity, which NaN the
+    estimator's dynamics Jacobian / measurement Hessian
+    (estimator_helpers.py:271-319) whenever the rotation passes through
+    zero. Values match the reference to ~1e-10 away from the guard."""
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     angle = _acos_safe((trace - 1) / 2)[..., None]
-    vec = (1.0 / (2.0 * jnp.sin(angle + 1e-10))) * jnp.stack([
+    w = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1)
-    vec = jnp.where(angle == 0, jnp.zeros_like(vec), vec)
-    return angle * vec
+    small = jnp.abs(angle) < 1e-4
+    denom = jnp.where(small, 1.0, 2.0 * jnp.sin(angle))   # safe div
+    c = jnp.where(small, 0.5 + angle ** 2 / 12.0, angle / denom)
+    return c * w
 
 
 def vec_to_rot_matrix(rot_vec):
-    """[..., 3] axis-angle -> [..., 3, 3] via Rodrigues (math_utils.py:152-167)."""
-    angle = jnp.linalg.norm(rot_vec, axis=-1, keepdims=True)
-    axis = rot_vec / (1e-10 + angle)
-    S = skew_matrix(axis)
-    angle = angle[..., None]
+    """[..., 3] axis-angle -> [..., 3, 3] via Rodrigues (math_utils.py:152-167).
+
+    R = I + a(t) S + b(t) S^2 with S = skew(rot_vec) (UN-normalized),
+    a = sin t / t, b = (1 - cos t) / t^2, both Taylor-guarded at t = 0 —
+    this removes the axis = v/|v| division whose autodiff is 0/0 at the
+    origin (the torch reference shares that NaN; the estimator needs the
+    Jacobian of the dynamics at rot_vec = 0, see rot_matrix_to_vec)."""
+    t2 = jnp.sum(rot_vec ** 2, axis=-1)[..., None, None]
+    small = t2 < 1e-12
+    t2s = jnp.where(small, 1.0, t2)                       # safe sqrt/div
+    theta = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    S = skew_matrix(rot_vec)
     eye = jnp.broadcast_to(jnp.eye(3), S.shape)
-    return eye + jnp.sin(angle) * S + (1 - jnp.cos(angle)) * (S @ S)
+    return eye + a * S + b * (S @ S)
 
 
 def next_rotation(R, omega, dt):
-    """SO(3) exponential step (quad_helpers.py:186-199), jit-safe via the
-    sinc-style where (theta == 0 -> identity increment)."""
-    angle = omega * dt
-    theta = jnp.linalg.norm(angle, axis=-1, keepdims=True)
-    safe_theta = jnp.where(theta == 0, 1.0, theta)
-    axis = angle / safe_theta
-    K = skew_matrix(axis)
-    theta_ = theta[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3), K.shape)
-    exp_i = eye + jnp.sin(theta_) * K + (1 - jnp.cos(theta_)) * (K @ K)
-    exp_i = jnp.where(theta_ == 0, eye, exp_i)
-    return R @ exp_i
+    """SO(3) exponential step (quad_helpers.py:186-199) via the
+    Taylor-guarded Rodrigues form (finite gradients at omega = 0)."""
+    return R @ vec_to_rot_matrix(omega * dt)
 
 
 # ---------------------------------------------------------------- host-side

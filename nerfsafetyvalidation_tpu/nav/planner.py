@@ -114,6 +114,34 @@ def calc_everything(states, initial_accel, start_state, end_state, dt, g_vec,
             current_omega, angular_accel, actions)
 
 
+def planner_cost_terms(states, initial_accel, start_state, end_state, epoch,
+                       *, density_fn, dt, g_vec, J, mass, robot_body,
+                       fade_out_epoch, fade_out_sharpness):
+    """Pure-functional planner cost (quad_plot.py:223-253): 1000*fz^2 +
+    0.01*|tau|^4 + 1e6 * mean_B(density^2 * speed), with the optional
+    fade-out mask. Module-level so the in-scan closed-loop engine
+    (validation/closed_loop.py) can run the replan block inside a jitted
+    scan with exactly the Planner's math. Returns (total [S], colision [S])."""
+    pos, vel, accel, rot_matrix, omega, angular_accel, actions = \
+        calc_everything(states, initial_accel, start_state, end_state,
+                        dt, g_vec, J, mass)
+    fz = actions[:, 0]
+    torques = jnp.linalg.norm(actions[:, 1:], axis=-1)
+    world_body = (rot_matrix @ robot_body.T + pos[..., None])   # [S, 3, B]
+    world_body = jnp.swapaxes(world_body, -1, -2)               # [S, B, 3]
+    distance = jnp.sum(vel ** 2 + 1e-5, axis=-1) ** 0.5
+    density = density_fn(world_body) ** 2                        # [S, B]
+    colision_prob = jnp.mean(density * distance[:, None], axis=-1)
+    if fade_out_epoch > 0:
+        t = jnp.linspace(0.0, 1.0, colision_prob.shape[0])
+        position = epoch / fade_out_epoch
+        mask = jax.nn.sigmoid(fade_out_sharpness * (position - t))
+        mask = jnp.where(epoch < fade_out_epoch, mask, jnp.ones_like(mask))
+        colision_prob = colision_prob * mask
+    colision_prob = colision_prob * 1e6
+    return 1000 * fz ** 2 + 0.01 * torques ** 4 + colision_prob, colision_prob
+
+
 class Planner:
     def __init__(self, start_state, end_state, cfg, density_fn):
         self.nerf = density_fn
@@ -214,26 +242,12 @@ class Planner:
     def _cost_terms(self, states, ia, epoch, start_state=None, end_state=None):
         start_state = self.start_state if start_state is None else start_state
         end_state = self.end_state if end_state is None else end_state
-        pos, vel, accel, rot_matrix, omega, angular_accel, actions = \
-            calc_everything(states, ia, start_state, end_state,
-                            self.dt, self.g, self.J, self.mass)
-        fz = actions[:, 0]
-        torques = jnp.linalg.norm(actions[:, 1:], axis=-1)
-        world_body = (rot_matrix @ self.robot_body.T
-                      + pos[..., None])               # [S, 3, B]
-        world_body = jnp.swapaxes(world_body, -1, -2)  # [S, B, 3]
-        distance = jnp.sum(vel ** 2 + 1e-5, axis=-1) ** 0.5
-        density = self.nerf(world_body) ** 2           # [S, B]
-        colision_prob = jnp.mean(density * distance[:, None], axis=-1)
-        if self.fade_out_epoch > 0:
-            t = jnp.linspace(0.0, 1.0, colision_prob.shape[0])
-            position = epoch / self.fade_out_epoch
-            mask = jax.nn.sigmoid(self.fade_out_sharpness * (position - t))
-            mask = jnp.where(epoch < self.fade_out_epoch, mask,
-                             jnp.ones_like(mask))
-            colision_prob = colision_prob * mask
-        colision_prob = colision_prob * 1e6
-        return 1000 * fz ** 2 + 0.01 * torques ** 4 + colision_prob, colision_prob
+        return planner_cost_terms(
+            states, ia, start_state, end_state, epoch,
+            density_fn=self.nerf, dt=self.dt, g_vec=self.g, J=self.J,
+            mass=self.mass, robot_body=self.robot_body,
+            fade_out_epoch=self.fade_out_epoch,
+            fade_out_sharpness=self.fade_out_sharpness)
 
     def get_state_cost(self):
         return self._cost_terms(self.states, self.initial_accel, self.epoch)

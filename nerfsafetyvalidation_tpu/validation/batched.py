@@ -316,12 +316,16 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
 
     # ------------------------------------------------------------- obs render
     def _pose_from_state(self, state):
-        """12-state -> NGP camera pose (estimator_helpers.py:199-208 path:
-        rot_x(pi/2) camera correction then nerf_matrix_to_ngp)."""
+        """12-state -> NGP camera pose along the sequential loop's
+        OBSERVATION chain: the agent's camera pose applies rot_x(pi/2)
+        (agent_helpers.py:59-62) and render_from_pose applies rot_x(pi/2)
+        AGAIN before the NGP remap (estimator_helpers.py:227-243) — the
+        reference composes both, so the observation camera rotation is
+        rot_x(pi) @ R."""
         from ..nav.math_utils import (vec_to_rot_matrix, rot_x,
                                       nerf_matrix_to_ngp_jax)
         R = vec_to_rot_matrix(state[6:9])
-        rot = rot_x(jnp.pi / 2) @ R
+        rot = rot_x(jnp.pi) @ R
         p, t = nerf_matrix_to_ngp_jax(rot, state[:3])
         pose = jnp.eye(4)
         pose = pose.at[:3, :3].set(p)

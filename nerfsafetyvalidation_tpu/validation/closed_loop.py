@@ -1,0 +1,291 @@
+"""Closed-loop batched rollout engine — the filtered-MPC validation loop
+inside one jitted program.
+
+The open-loop `FullBatchedRolloutEngine` (batched.py) precomputes the
+planner's action sequence and excludes the estimator/replan from the jit
+boundary. This engine closes the loop: per (sim, step), INSIDE `vmap(scan)`,
+
+  1. the next action is read off the sim's CURRENT plan
+     (quad_plot.py:211-214 `get_next_action`),
+  2. the true state evolves through the disturbed dynamics
+     (agent_helpers.py:43-77),
+  3. the measurement target is rendered from the true pose along the
+     estimator's observation chain (estimator_helpers.py:227-243
+     `render_from_pose`: rot_x(pi/2) @ R then the NGP axis remap) at a
+     FIXED interest-pixel set — the traceable stand-in for SIFT find_POI +
+     dilation + RNG batch sampling (estimator_helpers.py:10-36, 100-125;
+     SIFT stays a sequential-mode, host-cv2 luxury). The sequential
+     `Estimator` accepts the same pixel set via filter_cfg["fixed_coords"],
+     which is what the cross-check test uses,
+  4. the estimator runs: dynamics-propagated mean, jacfwd 12x12 covariance
+     propagation (estimator_helpers.py:261-285), the N_iter Adam pose fit on
+     the photometric + Mahalanobis measurement (:77-225), and the posterior
+     covariance from the measurement Hessian at the optimum (:286-319),
+  5. the planner replans: `update_state` horizon shift in fixed-horizon
+     form (constant knot count — quad_plot.py:302-308 drops a knot per
+     step; the fixed-horizon delta is documented in COMPONENTS.md) and an
+     `epochs_update`-step Adam block on the exact planner cost
+     (quad_plot.py:223-300 via nav.planner.planner_cost_terms),
+  6. the 4-point interpolated SDF collision check freezes collided sims
+     (NerfSimulator.py:93-98, 142-155).
+
+Everything is fixed-shape and fixed-iteration, so the whole population of
+closed-loop simulations compiles once and runs as one device program —
+the TPU-native form of validation/simulators/NerfSimulator.py:66-155.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nav.agent import drone_dynamics
+from ..nav.planner import calc_everything, planner_cost_terms
+from ..nav.math_utils import (vec_to_rot_matrix, mahalanobis, rot_x,
+                              nerf_matrix_to_ngp_jax)
+from ..data.rays import rays_for_pixels
+from .batched import BatchedRolloutEngine, FullBatchedRolloutEngine
+
+
+def state12_to_18(x):
+    """12-state (rotvec) -> 18-state (rot matrix) (NerfSimulator.py:135-138)."""
+    return jnp.concatenate([x[:6], vec_to_rot_matrix(x[6:9]).reshape(-1),
+                            x[9:]], axis=-1)
+
+
+class ClosedLoopBatchedEngine(BatchedRolloutEngine):
+    """Population of independent closed-loop (estimate + replan) simulations
+    as one `vmap(scan)` program."""
+
+    _sdf_check_interp = FullBatchedRolloutEngine._sdf_check_interp
+
+    def __init__(self, *, steps, dt, g, mass, I, sdf, sdf_start, granularity,
+                 noise_mean, noise_std, start_state,
+                 # estimator (filter_cfg analog)
+                 fixed_coords, intrinsics, obs_hw, render_rays_fn,
+                 n_iter=20, est_lr=1e-3, sig0=None, Q=None, filter=True,
+                 # planner (planner_cfg analog)
+                 end_state, knots0, initial_accel0, epochs_update=2,
+                 planner_lr=1e-3, density_fn, robot_body,
+                 fade_out_epoch=0, fade_out_sharpness=10.0,
+                 quantize_target=True, mesh=None):
+        """start_state: [12] true start (rotvec form); end_state: [18]
+        planner goal; knots0: [S, 4] initial plan knots (from a host-side
+        `Planner.a_star_init` + `learn_init`, exactly as NerfSimulator.reset
+        does, NerfSimulator.py:183-223); initial_accel0: [2];
+        fixed_coords: [B, 2] integer (row, col) interest pixels;
+        render_rays_fn(rays_o [N,3], rays_d [N,3]) -> {"image": [N, 3]}, a
+        traceable per-ray renderer (the estimator's render_batch_fn);
+        density_fn: [..., 3] -> [...] planner collision density;
+        quantize_target: floor(img*255)/255 on the measurement target,
+        matching the sequential loop's uint8 camera round-trip
+        (NerfSimulator.py:115 -> estimator_helpers.py:85)."""
+        self.fixed_coords = jnp.asarray(np.asarray(fixed_coords), jnp.int32)
+        self.intrinsics = tuple(float(v) for v in intrinsics)
+        self.obs_hw = (int(obs_hw[0]), int(obs_hw[1]))
+        self.render_rays_fn = render_rays_fn
+        self.n_iter = int(n_iter)
+        self.est_lr = float(est_lr)
+        self.sig0 = (jnp.eye(12) if sig0 is None
+                     else jnp.asarray(sig0, jnp.float32))
+        self.Q = jnp.eye(12) if Q is None else jnp.asarray(Q, jnp.float32)
+        self.filter = bool(filter)
+        self.end_state18 = jnp.asarray(end_state, jnp.float32)
+        self.knots0 = jnp.asarray(knots0, jnp.float32)
+        self.initial_accel0 = jnp.asarray(initial_accel0, jnp.float32)
+        self.epochs_update = int(epochs_update)
+        self.planner_lr = float(planner_lr)
+        self.density_fn = density_fn
+        self.robot_body = jnp.asarray(robot_body, jnp.float32)
+        self.fade_out_epoch = float(fade_out_epoch)
+        self.fade_out_sharpness = float(fade_out_sharpness)
+        self.quantize_target = bool(quantize_target)
+        actions = jnp.zeros((int(steps), 4), jnp.float32)  # computed in-scan
+        super().__init__(actions, dt, g, mass, I, sdf, sdf_start, granularity,
+                         noise_mean, noise_std, start_state, mesh=mesh)
+
+    # ------------------------------------------------------------- rendering
+    def _obs_rays(self, state12):
+        """Measurement-target rays at the true state, along the estimator's
+        render_from_pose chain (estimator_helpers.py:227-243): the agent
+        reports the body-frame pose (agent_helpers.py:75) and
+        render_from_pose applies rot_x(pi/2) before the NGP remap."""
+        R = vec_to_rot_matrix(state12[6:9])
+        rot = rot_x(jnp.pi / 2) @ R
+        p, t = nerf_matrix_to_ngp_jax(rot, state12[:3])
+        pose = jnp.eye(4).at[:3, :3].set(p).at[:3, 3].set(t)
+        return rays_for_pixels(pose, self.intrinsics, self.fixed_coords)
+
+    def _est_rays(self, state12):
+        """Candidate-pose rays inside the measurement (Estimator.
+        _pose_from_state, estimator_helpers.py:199-208): same chain."""
+        return self._obs_rays(state12)
+
+    def _measurement(self, state, prop_mean, sig_prop, target_vals):
+        """Photometric + dynamics-prior loss on the fixed pixel batch
+        (estimator_helpers.py:191-225)."""
+        loss_dyn = mahalanobis(state, prop_mean, sig_prop)
+        ro, rd = self._est_rays(state)
+        out = self.render_rays_fn(ro.reshape(1, -1, 3), rd.reshape(1, -1, 3))
+        rgb = out["image"].reshape(-1, 3)
+        return jnp.mean((rgb - target_vals) ** 2) + loss_dyn
+
+    # -------------------------------------------------------------- one step
+    def _estimate(self, xt, sig, action, target_vals):
+        """Propagate + N_iter Adam fit + Hessian posterior — the jitted form
+        of Estimator.estimate_state (estimator_helpers.py:261-319)."""
+        dyn = lambda x: drone_dynamics(x, action, self.dt, self.g, self.mass,
+                                       self.I, self.invI)
+        xt_prop = dyn(xt)
+        # the Jacobian is evaluated at the PROPAGATED state, as the
+        # sequential estimator does (estimator_helpers.py:271-277)
+        A = jax.jacfwd(dyn)(xt_prop)
+        sig_prop = A @ sig @ A.T + self.Q
+
+        meas = lambda s: self._measurement(s, xt_prop, sig_prop, target_vals)
+        tx = optax.adam(self.est_lr, b1=0.9, b2=0.999)
+        state0 = xt_prop + 1e-6                 # estimator_helpers.py:126
+
+        def body(i, carry):
+            s, opt_state = carry
+            loss, grads = jax.value_and_grad(meas)(s)
+            updates, opt_state = tx.update(grads, opt_state, s)
+            return optax.apply_updates(s, updates), opt_state
+
+        opt, _ = jax.lax.fori_loop(0, self.n_iter, body,
+                                   (state0, tx.init(state0)))
+        if self.filter:
+            hess = jax.hessian(meas)(opt)
+            sig_new = jnp.linalg.inv(hess)
+        else:
+            sig_new = sig_prop
+        return opt, sig_new
+
+    def _replan(self, knots, ia, start18):
+        """Fresh-optimizer Adam block on the exact planner cost — the jitted
+        learn_update (quad_plot.py:278-300 / nav/planner.py:_learn; the
+        optimizer state is re-initialized per replan exactly as _learn
+        does)."""
+        params = {"states": knots, "initial_accel": ia}
+        tx = optax.adam(self.planner_lr)
+
+        def body(i, carry):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                total, _ = planner_cost_terms(
+                    p["states"], p["initial_accel"], start18,
+                    self.end_state18, i, density_fn=self.density_fn,
+                    dt=self.dt, g_vec=jnp.asarray([0.0, 0.0, -self.g]),
+                    J=self.I, mass=self.mass, robot_body=self.robot_body,
+                    fade_out_epoch=self.fade_out_epoch,
+                    fade_out_sharpness=self.fade_out_sharpness)
+                return jnp.mean(total)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        params, _ = jax.lax.fori_loop(0, self.epochs_update, body,
+                                      (params, tx.init(params)))
+        return params["states"], params["initial_accel"]
+
+    # ------------------------------------------------------------------ build
+    def _build(self):
+        quant = self.quantize_target
+
+        def sim_step(carry, noise_t_and_t):
+            noise, t = noise_t_and_t
+            true, xt, sig, knots, ia, done = carry
+
+            # 1. action off the current plan (quad_plot.py:211-214); the
+            #    plan's start state is the last ESTIMATE (update_state)
+            start18 = state12_to_18(xt)
+            _, _, _, _, _, _, actions = calc_everything(
+                knots, ia, start18, self.end_state18, self.dt,
+                jnp.asarray([0.0, 0.0, -self.g]), self.I, self.mass)
+            action = actions[0]
+
+            # 2. disturbed true dynamics (agent_helpers.py:43-77)
+            true_next = drone_dynamics(true, action, self.dt, self.g,
+                                       self.mass, self.I, self.invI) + noise
+
+            # 3. measurement target at the true pose (NerfSimulator.py:113-115)
+            ro, rd = self._obs_rays(true_next)
+            img = self.render_rays_fn(ro.reshape(1, -1, 3),
+                                      rd.reshape(1, -1, 3))["image"]
+            target_vals = img.reshape(-1, 3)
+            if quant:
+                target_vals = jnp.floor(
+                    jnp.clip(target_vals, 0.0, 1.0) * 255.0) / 255.0
+
+            # 4. estimator (estimator_helpers.py:261-319)
+            xt_new, sig_new = self._estimate(xt, sig, action, target_vals)
+
+            # 5. planner update_state + learn_update (quad_plot.py:278-308):
+            #    initial_accel from the OLD plan's actions[1:3, 0], then the
+            #    fixed-horizon knot shift, then the replan block
+            ia_new = actions[1:3, 0]
+            knots_shift = jnp.concatenate([knots[1:], knots[-1:]], axis=0)
+            start18_new = state12_to_18(xt_new)
+            knots_new, ia_new = self._replan(knots_shift, ia_new, start18_new)
+
+            # 6. 4-point interpolated SDF check (NerfSimulator.py:93-155)
+            hit, sdf_val, pos = self._sdf_check_interp(true, true_next, t)
+            collided_now = hit & ~done
+
+            # freeze everything once collided (the sequential loop breaks)
+            keep = lambda new, old: jnp.where(done, old, new)
+            true_next = keep(true_next, true)
+            xt_new = keep(xt_new, xt)
+            sig_new = keep(sig_new, sig)
+            knots_new = keep(knots_new, knots)
+            ia_new = keep(ia_new, ia)
+
+            loglik = self._log_likelihood(noise)
+            out = (true_next, xt_new, action, pos, sdf_val, collided_now,
+                   loglik)
+            return ((true_next, xt_new, sig_new, knots_new, ia_new,
+                     done | collided_now), out)
+
+        def rollout(noises):
+            """noises: [T, 12] -> one closed-loop simulation."""
+            init = (self.start_state, self.start_state, self.sig0,
+                    self.knots0, self.initial_accel0, jnp.asarray(False))
+            ts = jnp.arange(self.steps)
+            (_, _, _, _, _, ever), outs = jax.lax.scan(
+                sim_step, init, (noises, ts))
+            (true_states, est_states, actions, positions, sdf_vals,
+             collided, logliks) = outs
+            return {
+                "true_states": true_states,      # [T, 12]
+                "est_states": est_states,        # [T, 12]
+                "actions": actions,              # [T, 4]
+                "positions": positions,          # [T, 3] (SDF check points)
+                "sdf_vals": sdf_vals,            # [T]
+                "collided": collided,            # [T]
+                "ever_collided": ever,           # []
+                "log_likelihoods": logliks,      # [T]
+                "risk": jnp.min(sdf_vals),
+            }
+
+        batched = jax.vmap(rollout)
+        return jax.jit(lambda noises: batched(noises))
+
+    # ------------------------------------------------------------------- API
+    def monte_carlo(self, key, n_sims: int):
+        """Batched closed-loop MC sweep (the NerfSimulator MC configuration,
+        MonteCarlo.py:38-93 with the estimate/replan loop live)."""
+        noises = self.sample_noises(key, n_sims)
+        out = self.run(noises)
+        ever = np.asarray(out["ever_collided"])
+        return {
+            "noises": np.asarray(noises),
+            "collision_rate": float(ever.mean()),
+            "ever_collided": ever,
+            "true_states": np.asarray(out["true_states"]),
+            "est_states": np.asarray(out["est_states"]),
+            "risk": np.asarray(out["risk"]),
+            "positions": np.asarray(out["positions"]),
+            "log_likelihoods": np.asarray(out["log_likelihoods"]),
+        }

@@ -1,0 +1,207 @@
+"""Closed-loop batched engine vs the sequential filtered-MPC loop.
+
+The cross-check drives the SAME math twice: the sequential Agent /
+Estimator(fixed_coords) / Planner(fixed_horizon) objects stepped by hand
+exactly as NerfSimulator.step does (reference
+validation/simulators/NerfSimulator.py:66-155), and the in-scan
+ClosedLoopBatchedEngine — and requires matching true/estimated
+trajectories."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerfsafetyvalidation_tpu.config import NetworkConfig
+from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+from nerfsafetyvalidation_tpu.models import renderer as R
+from nerfsafetyvalidation_tpu.data.rays import get_rays, rays_for_pixels
+from nerfsafetyvalidation_tpu.nav.math_utils import vec_to_rot_matrix
+from nerfsafetyvalidation_tpu.nav.agent import Agent
+from nerfsafetyvalidation_tpu.nav.camera import CannedCamera
+from nerfsafetyvalidation_tpu.nav.estimator import Estimator
+from nerfsafetyvalidation_tpu.nav.planner import Planner
+from nerfsafetyvalidation_tpu.validation.closed_loop import (
+    ClosedLoopBatchedEngine, state12_to_18)
+
+RES = 16
+T_STEPS = 2
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0)
+    net = NeRFNetwork(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    intrinsics = (20.0, 20.0, RES / 2, RES / 2)
+
+    def get_rays_fn(pose):
+        return get_rays(pose, intrinsics, RES, RES)
+
+    def render_fn(rays_o, rays_d):
+        return R.render(net, params, rays_o, rays_d, staged=False,
+                        bg_color=1.0, num_steps=8, upsample_steps=0)
+
+    rot = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+    def density_fn(x):
+        return 1e-3 * net.density(params, x.reshape((-1, 3)) @ rot)[
+            "sigma"].reshape(x.shape[:-1])
+
+    return net, params, intrinsics, get_rays_fn, render_fn, density_fn
+
+
+def make_cfgs():
+    sp = jnp.asarray([-0.5, -0.5, 0.1])
+    ep = jnp.asarray([0.5, 0.5, 0.1])
+    zeros3 = jnp.zeros(3)
+    sR = vec_to_rot_matrix(zeros3)
+    start18 = jnp.concatenate([sp, zeros3, sR.reshape(-1), zeros3])
+    end18 = jnp.concatenate([ep, zeros3, sR.reshape(-1), zeros3])
+    start12 = jnp.concatenate([sp, zeros3, zeros3, zeros3])
+
+    planner_cfg = {"T_final": 2.0, "steps": 5, "lr": 1e-3,
+                   "epochs_init": 2, "epochs_update": 2,
+                   "fade_out_epoch": 0, "fade_out_sharpness": 10,
+                   "exp_name": "cltest", "I": jnp.eye(3), "g": 10.0,
+                   "mass": 1.0, "fixed_horizon": True,
+                   "body": np.asarray([[-0.05, 0.05], [-0.05, 0.05],
+                                       [-0.02, 0.02]]),
+                   "nbins": [4, 4, 2]}
+    # deterministic fixed interest pixels (row, col)
+    rng = np.random.default_rng(3)
+    coords = np.stack([rng.integers(0, RES, 24), rng.integers(0, RES, 24)],
+                      axis=-1)
+    filter_cfg = {"dil_iter": 2, "kernel_size": 3, "batch_size": 24,
+                  "lrate": 1e-3, "N_iter": 3, "render_viz": False,
+                  "show_rate": [20, 100], "sig0": jnp.eye(12),
+                  "Q": jnp.eye(12), "fixed_coords": coords}
+    return start12, start18, end18, planner_cfg, filter_cfg, coords
+
+
+def free_sdf():
+    # free-space SDF over the validation grid constants (NerfSimulator.py:55-62)
+    return (np.full((96, 92, 24), 1.0, dtype=np.float32),
+            np.asarray([-1.4, -1.3, -0.1], np.float32), 40.0)
+
+
+def run_sequential(stack, noises):
+    """NerfSimulator.step by hand: plan -> act -> render target -> estimate
+    -> update_state -> learn_update, T_STEPS times."""
+    net, params, intrinsics, get_rays_fn, render_fn, density_fn = stack
+    start12, start18, end18, planner_cfg, filter_cfg, coords = make_cfgs()
+    dt = planner_cfg["T_final"] / planner_cfg["steps"]
+
+    agent_cfg = {"x0": start12, "dt": dt, "g": 10.0, "mass": 1.0,
+                 "I": np.eye(3).tolist()}
+    camera_cfg = {"res_x": RES, "res_y": RES, "trans": True, "mode": "RGBA"}
+    agent = Agent(agent_cfg, camera_cfg, camera=CannedCamera(res_x=RES,
+                                                             res_y=RES))
+    est = Estimator(filter_cfg, agent, start12, get_rays_fn=get_rays_fn,
+                    render_fn=render_fn, render_batch_fn=render_fn)
+    planner = Planner(start18, end18, planner_cfg, density_fn)
+    knots0 = np.asarray(planner.states).copy()
+    ia0 = np.asarray(planner.initial_accel).copy()
+
+    true_states, est_states = [], []
+    for t in range(T_STEPS):
+        action = np.asarray(planner.get_next_action())
+        true_pose, true_state, _ = agent.step(
+            action, noise=jnp.asarray(noises[t], dtype=jnp.float32))
+        nerf_img = est.render_from_pose(jnp.asarray(true_pose))
+        img_u8 = (np.asarray(nerf_img).reshape(RES, RES, 3)
+                  * 255).astype(np.uint8)
+        xt = est.estimate_state(img_u8, true_pose, action)
+        planner.update_state(state12_to_18(xt))
+        planner.learn_update(t)
+        true_states.append(np.asarray(true_state))
+        est_states.append(np.asarray(xt))
+    return (np.stack(true_states), np.stack(est_states), knots0, ia0)
+
+
+def make_engine(stack, knots0, ia0, quantize=True):
+    net, params, intrinsics, get_rays_fn, render_fn, density_fn = stack
+    start12, start18, end18, planner_cfg, filter_cfg, coords = make_cfgs()
+    sdf, sdf_start, gran = free_sdf()
+    dt = planner_cfg["T_final"] / planner_cfg["steps"]
+    planner = Planner(start18, end18, planner_cfg, density_fn)
+    return ClosedLoopBatchedEngine(
+        steps=T_STEPS, dt=dt, g=10.0, mass=1.0, I=np.eye(3),
+        sdf=sdf, sdf_start=sdf_start, granularity=gran,
+        noise_mean=np.zeros(12), noise_std=np.full(12, 0.01),
+        start_state=start12, fixed_coords=coords, intrinsics=intrinsics,
+        obs_hw=(RES, RES), render_rays_fn=render_fn,
+        n_iter=filter_cfg["N_iter"], est_lr=filter_cfg["lrate"],
+        sig0=filter_cfg["sig0"], Q=filter_cfg["Q"], filter=True,
+        end_state=end18, knots0=knots0, initial_accel0=ia0,
+        epochs_update=planner_cfg["epochs_update"],
+        planner_lr=planner_cfg["lr"], density_fn=density_fn,
+        robot_body=planner.robot_body, quantize_target=quantize)
+
+
+def test_fixed_pixel_rays_match_full_grid(stack):
+    """rays_for_pixels == get_rays full grid indexed at the coords."""
+    net, params, intrinsics, get_rays_fn, render_fn, density_fn = stack
+    _, _, _, _, _, coords = make_cfgs()
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.1, -0.2, 0.3]))
+    rays = get_rays_fn(pose[None])
+    ro_full = rays["rays_o"].reshape(RES, RES, 3)[coords[:, 0], coords[:, 1]]
+    rd_full = rays["rays_d"].reshape(RES, RES, 3)[coords[:, 0], coords[:, 1]]
+    ro, rd = rays_for_pixels(pose, intrinsics, jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(ro), np.asarray(ro_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd_full),
+                               atol=1e-6)
+
+
+def test_closed_loop_matches_sequential(stack):
+    rng = np.random.default_rng(7)
+    noises = rng.normal(0.0, 0.01, (T_STEPS, 12)).astype(np.float32)
+
+    seq_true, seq_est, knots0, ia0 = run_sequential(stack, noises)
+
+    eng = make_engine(stack, knots0, ia0)
+    out = eng.run(jnp.asarray(noises)[None])           # n_sims = 1
+    bat_true = np.asarray(out["true_states"][0])
+    bat_est = np.asarray(out["est_states"][0])
+
+    assert np.all(np.isfinite(seq_true)) and np.all(np.isfinite(seq_est))
+    np.testing.assert_allclose(bat_true, seq_true, atol=2e-3,
+                               equal_nan=False,
+                               err_msg="true trajectories diverge")
+    np.testing.assert_allclose(bat_est, seq_est, atol=5e-3,
+                               equal_nan=False,
+                               err_msg="estimated trajectories diverge")
+    assert not np.asarray(out["ever_collided"])[0]
+
+
+def test_closed_loop_population(stack):
+    """Population semantics: sims evolve independently and deterministically."""
+    _, _, _, _, _, coords = make_cfgs()
+    start12, start18, end18, planner_cfg, _, _ = make_cfgs()
+    _, _, knots0, ia0 = None, None, None, None
+    # default linear-interp plan from a fresh Planner
+    net, params, intrinsics, get_rays_fn, render_fn, density_fn = stack
+    planner = Planner(start18, end18, planner_cfg, density_fn)
+    knots0 = np.asarray(planner.states)
+    ia0 = np.asarray(planner.initial_accel)
+
+    eng = make_engine(stack, knots0, ia0)
+    key = jax.random.PRNGKey(0)
+    noises = eng.sample_noises(key, 3)
+    out = eng.run(noises)
+    assert out["true_states"].shape == (3, T_STEPS, 12)
+    assert out["est_states"].shape == (3, T_STEPS, 12)
+    assert out["actions"].shape == (3, T_STEPS, 4)
+    assert np.all(np.isfinite(np.asarray(out["true_states"])))
+    assert np.all(np.isfinite(np.asarray(out["est_states"])))
+
+    # sim 0 re-run alone is identical (no cross-sim coupling)
+    out0 = eng.run(noises[:1])
+    np.testing.assert_allclose(np.asarray(out0["true_states"][0]),
+                               np.asarray(out["true_states"][0]), atol=1e-5)
+
+    # MC driver summary
+    mc = eng.monte_carlo(jax.random.PRNGKey(1), 2)
+    assert 0.0 <= mc["collision_rate"] <= 1.0
+    assert mc["true_states"].shape == (2, T_STEPS, 12)

@@ -77,6 +77,13 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
     simulator.reset()  # A* + learn_init (may raise -> restart loop)
     actions = np.asarray(simulator.traj.get_actions())
     obs_res = int(getattr(opt, "batched_obs_res", 100))
+
+    if getattr(opt, "closed_loop", False):
+        if getattr(simulator, "net", None) is None:
+            raise SystemExit("--closed_loop needs the NeRF simulator "
+                             "(the estimator measurement renders the NeRF)")
+        return validate_closed_loop(simulator, stresstest, noise_mean,
+                                    noise_std, n_simulations, actions, opt)
     if getattr(simulator, "net", None) is None:
         # BlenderSimulator has no NeRF to render in-scan: run the
         # dynamics+SDF+likelihood core engine with the round-1 summary CSV
@@ -133,6 +140,71 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
               f"{n_simulations} rollouts")
         eng.write_mc_csv(
             res, f"results/collisionValuesBatchedMC_n{n_simulations}.csv")
+    return res
+
+
+def validate_closed_loop(simulator, stresstest, noise_mean, noise_std,
+                         n_simulations, actions, opt):
+    """Closed-loop population mode (validation/closed_loop.py): per (sim,
+    step) the estimator's N_iter Adam pose fit + jacfwd/Hessian EKF update
+    and the fixed-horizon replan block run INSIDE the vmapped scan — the
+    full filtered-MPC loop of NerfSimulator.py:66-155 as one jitted
+    program. The interest mask is a fixed strided pixel grid (the traceable
+    stand-in for SIFT find_POI + dilation; the sequential Estimator accepts
+    the same set via filter_cfg['fixed_coords'] for cross-checking)."""
+    import csv
+    from nerfsafetyvalidation_tpu.validation.closed_loop import (
+        ClosedLoopBatchedEngine)
+
+    fc = dict(simulator.filter_cfg)
+    traj = simulator.traj
+    H, W = simulator.res_y, simulator.res_x
+    intr = getattr(simulator, "dataset_intrinsics",
+                   (1111.0, 1111.0, W / 2.0, H / 2.0))
+
+    # fixed strided interest grid over the observation frame
+    G = max(2, int(getattr(opt, "closed_loop_obs_res", 32)))
+    rows = np.linspace(0, H - 1, G).astype(int)
+    cols = np.linspace(0, W - 1, G).astype(int)
+    rr, cc = np.meshgrid(rows, cols, indexing="ij")
+    coords = np.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)
+
+    eng = ClosedLoopBatchedEngine(
+        steps=actions.shape[0], dt=simulator.agent_cfg["dt"],
+        g=simulator.agent_cfg["g"], mass=simulator.agent_cfg["mass"],
+        I=np.asarray(simulator.agent_cfg["I"], dtype=np.float32),
+        sdf=simulator.sdf,
+        sdf_start=[simulator.START_X, simulator.START_Y, simulator.START_Z],
+        granularity=simulator.GRANULARITY,
+        noise_mean=np.asarray(noise_mean), noise_std=np.asarray(noise_std),
+        start_state=np.asarray(simulator.true_start_state),
+        fixed_coords=coords, intrinsics=intr, obs_hw=(H, W),
+        render_rays_fn=simulator.render_batch_fn,
+        n_iter=int(fc.get("N_iter", 20)), est_lr=float(fc.get("lrate", 1e-3)),
+        sig0=fc.get("sig0"), Q=fc.get("Q"), filter=True,
+        end_state=np.asarray(simulator.end_state),
+        knots0=np.asarray(traj.states),
+        initial_accel0=np.asarray(traj.initial_accel),
+        epochs_update=int(simulator.planner_cfg["epochs_update"]),
+        planner_lr=float(simulator.planner_cfg["lr"]),
+        density_fn=simulator.density_fn, robot_body=traj.robot_body,
+        fade_out_epoch=simulator.planner_cfg["fade_out_epoch"],
+        fade_out_sharpness=simulator.planner_cfg["fade_out_sharpness"])
+
+    if stresstest != "Monte Carlo":
+        print("[WARN] closed-loop mode runs the MC sweep (CEM proposal "
+              "updates over closed-loop rollouts are sequential-mode only)")
+    res = eng.monte_carlo(jax.random.PRNGKey(opt.seed), n_simulations)
+    rate = res["collision_rate"]
+    print(f"Closed-loop batched MC: collision rate {rate:.4f} over "
+          f"{n_simulations} rollouts")
+    os.makedirs("results", exist_ok=True)
+    with open(f"results/collisionValuesClosedLoopMC_n{n_simulations}.csv",
+              "w", newline="") as f:
+        w = csv.writer(f)
+        for i in range(n_simulations):
+            w.writerow([i, bool(res["ever_collided"][i]),
+                        float(res["risk"][i])])
     return res
 
 
@@ -340,6 +412,10 @@ def main():
         raise SystemExit(1)
 
     simulator = build_simulator(start_state, end_state)
+    # closed-loop batched mode regenerates measurement rays per pixel and
+    # needs the raw camera intrinsics (fx, fy, cx, cy)
+    simulator.dataset_intrinsics = tuple(
+        float(v) for v in np.asarray(dataset.intrinsics).reshape(-1)[:4])
 
     if opt.r:
         if env.stress_test == "Monte Carlo":
