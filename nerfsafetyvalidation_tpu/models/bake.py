@@ -141,3 +141,92 @@ def distill(teacher_net, teacher_params, state, key, steps: int = 2000,
         if log_every and (i + 1) % log_every == 0:
             print(f"[distill] step {i + 1}/{steps} loss {float(loss):.5f}")
     return student, params, float(loss)
+
+
+def finetune_render(student, sparams, teacher_net, teacher_params, state,
+                    rays_o_pool, rays_d_pool, key, steps: int = 2000,
+                    batch: int = 8192, K: int = 16,
+                    margin_cells: float = 6.0, lr: float = 5e-4,
+                    teacher_K: int = 16, dt_gamma: float = 1.0 / 64,
+                    max_steps: int = 512, log_every: int = 0):
+    """Phase-2 distillation in PIXEL space: shade the student through the
+    exact depth-guided window scheme it deploys under (render_frame_guided's
+    fine pass) and regress the composited pixel against the teacher's
+    marched render. Point regression (distill) gets the field close; this
+    phase optimizes what PSNR actually measures — per-pixel composites —
+    including alpha interplay across the K window samples that pointwise
+    sigma/rgb losses cannot see.
+
+    rays_o_pool/rays_d_pool: [P, 3] ray pool drawn from scene-covering
+    poses (the caller samples them from training-like cameras). Returns
+    (sparams, final_loss)."""
+    from . import renderer as R
+
+    cfg = teacher_net.cfg
+    bound = cfg.bound
+    cell = 2.0 * bound / cfg.grid_size
+    margin = margin_cells * cell
+    n_pool = rays_o_pool.shape[0]
+    aabb = R.aabb_of(cfg)
+
+    tx = optax.chain(optax.scale_by_adam(),
+                     optax.scale_by_schedule(
+                         optax.cosine_decay_schedule(-lr, steps)))
+    opt_state = tx.init(sparams)
+
+    @jax.jit
+    def step_fn(sparams, opt_state, key, teacher_params, ro_pool, rd_pool):
+        idx = jax.random.randint(key, (batch,), 0, n_pool)
+        ro = jnp.take(ro_pool, idx, axis=0)
+        rd = jnp.take(rd_pool, idx, axis=0)
+
+        t_out = R.run_grid(teacher_net, teacher_params, state, ro, rd,
+                           max_samples=teacher_K, max_steps=max_steps,
+                           dt_gamma=dt_gamma, bg_color=1.0,
+                           samples_per_hit=2)
+        target = jax.lax.stop_gradient(t_out["image"])
+        ws_t = jax.lax.stop_gradient(t_out["weights_sum"])
+        dabs = jax.lax.stop_gradient(t_out["depth_abs"])
+
+        from ..ops.ray_ops import near_far_from_aabb
+        nears, fars = near_far_from_aabb(ro, rd, aabb, cfg.min_near)
+        hit = ws_t > 0.1
+        t_hit = dabs / jnp.clip(ws_t, 0.1, None)
+        t0 = jnp.where(hit, jnp.clip(t_hit - margin, nears, fars), nears)
+        t1 = jnp.where(hit, jnp.clip(t_hit + margin, nears, fars), fars)
+
+        def loss_fn(p):
+            dtw = (t1 - t0) / K
+            jj = jnp.arange(K, dtype=jnp.float32) + 0.5
+            z = t0[:, None] + dtw[:, None] * jj[None, :]          # [B, K]
+            xyz = jnp.clip(ro[:, None, :] + z[..., None] * rd[:, None, :],
+                           -bound, bound).reshape(-1, 3)
+            dirs = jnp.broadcast_to(rd[:, None, :],
+                                    (batch, K, 3)).reshape(-1, 3)
+            sig, rgb = student.apply(p, xyz, dirs)
+            sig = sig.reshape(batch, K)
+            rgb = rgb.reshape(batch, K, 3)
+            alphas = 1.0 - jnp.exp(-dtw[:, None] * cfg.density_scale * sig)
+            shifted = jnp.concatenate(
+                [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-15],
+                axis=-1)
+            trans = jnp.cumprod(shifted, axis=-1)[:, :-1]
+            wgt = alphas * trans
+            ws = jnp.sum(wgt, axis=-1)
+            img = jnp.sum(wgt[..., None] * rgb, axis=-2) \
+                + (1.0 - ws)[..., None]                          # white bg
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(sparams)
+        updates, opt_state = tx.update(grads, opt_state, sparams)
+        return optax.apply_updates(sparams, updates), opt_state, loss
+
+    loss = None
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        sparams, opt_state, loss = step_fn(sparams, opt_state, sub,
+                                           teacher_params, rays_o_pool,
+                                           rays_d_pool)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"[finetune] step {i + 1}/{steps} loss {float(loss):.6f}")
+    return sparams, float(loss)

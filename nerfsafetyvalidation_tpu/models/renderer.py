@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ray_ops import near_far_from_aabb, sph_from_ray, morton3d, packbits
+from ..ops.ray_ops import (near_far_from_aabb, sph_from_ray, morton3d,
+                           morton3d_invert, packbits)
 from ..ops.compositing import composite_weights
 from ..ops.sample_pdf import sample_pdf
 
@@ -381,6 +382,8 @@ def run_grid(net, params, state: "RendererState", rays_o, rays_d,
         "rgbs": rgbs,
         "sigmas": sigmas.reshape(-1, 1),
         "aggregated_density": res["aggregated_density"],
+        # absolute opacity-weighted sample t (drives depth-guided windows)
+        "depth_abs": res["depth_abs"],
     }
 
 
@@ -476,16 +479,32 @@ def mark_untrained_grid(cfg, state: RendererState, poses, intrinsic,
 
 
 def update_extra_state(net, params, state: RendererState, key,
-                       decay: float = 0.95, grid_size: int = 128) -> RendererState:
-    """Refresh the density grid + bitfield (renderer.py:453-546, full-update
-    branch; TPU prefers the dense full probe — it is one batched density
-    query — so the 'partial random update' fast path is unnecessary)."""
+                       decay: float = 0.95, grid_size: int = 128,
+                       n_blocks: int = 1, block: int = 0) -> RendererState:
+    """Refresh the density grid + bitfield (renderer.py:453-546).
+
+    n_blocks=1 is the full-update branch (one dense batched density
+    query). n_blocks>1 is the TPU form of the reference's partial update
+    (renderer.py:472-500 probes 1/4 of the cells once trained): probe the
+    morton-STRIDED subset `block::n_blocks` (static shape, spatially
+    interleaved — unlike contiguous morton blocks, which would be
+    octants), refresh those cells with the same decay/max rule, leave the
+    rest untouched. Rotating `block` covers the grid every n_blocks
+    updates at 1/n_blocks the probe cost."""
     cfg = net.cfg
     cascade = state.density_grid.shape[0]
-    g = jnp.arange(grid_size, dtype=jnp.int32)
-    xx, yy, zz = jnp.meshgrid(g, g, g, indexing="ij")
-    coords = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], axis=-1)
-    indices = morton3d(coords)
+    total = grid_size ** 3
+    if n_blocks > 1:
+        assert total % n_blocks == 0 and 0 <= block < n_blocks
+        indices = jnp.asarray(block, dtype=jnp.int32) \
+            + jnp.arange(total // n_blocks, dtype=jnp.int32) * n_blocks
+        coords = morton3d_invert(indices)
+    else:
+        g = jnp.arange(grid_size, dtype=jnp.int32)
+        xx, yy, zz = jnp.meshgrid(g, g, g, indexing="ij")
+        coords = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)],
+                           axis=-1)
+        indices = morton3d(coords)
     xyzs = 2.0 * coords.astype(jnp.float32) / (grid_size - 1) - 1.0
 
     tmp = -jnp.ones_like(state.density_grid)
@@ -743,7 +762,8 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                         max_steps: int = 512, dt_gamma: float = 1.0 / 64,
                         bg_color: float = 1.0, margin_cells: float = 6.0,
                         prepass_tile: int = 16384, prepass_march_tile: int = 8192,
-                        samples_per_hit: int = 2, return_moments: bool = False):
+                        samples_per_hit: int = 2, return_moments: bool = False,
+                        prepass_net=None, prepass_params=None):
     """Two-pass frame render built around the measured gather wall
     (BENCH_NOTES "ceiling proof"): the per-cell DDA march — whose serial
     occupancy gathers dominate render time — runs only for a low-res
@@ -781,7 +801,12 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
     pre_idx = (yy[:, None] * W + xx[None, :]).reshape(-1)
     pre_o = jnp.take(rays_o, jnp.asarray(pre_idx), axis=0)
     pre_d = jnp.take(rays_d, jnp.asarray(pre_idx), axis=0)
-    pre = render_frame_fast(net, params, state, pre_o, pre_d,
+    # the depth scout may use a DIFFERENT field than the fine shade — e.g.
+    # a distilled student shades while the teacher places the windows
+    # (models/bake.py: student sigma bias otherwise shifts the windows)
+    p_net = prepass_net if prepass_net is not None else net
+    p_params = prepass_params if prepass_params is not None else params
+    pre = render_frame_fast(p_net, p_params, state, pre_o, pre_d,
                             tile=min(prepass_tile, _round_up(h * w, 1024)),
                             max_samples=K, max_steps=max_steps,
                             dt_gamma=dt_gamma, bg_color=bg_color,

@@ -315,9 +315,25 @@ class Trainer:
                 # dense compute, far cheaper than the extra gather rows)
                 probe = self.net.to_folded(self.params) \
                     if self.net.cfg.encoding == "mipfold" else self.params
-                self.renderer_state = R.update_extra_state(
-                    self.net, probe, self.renderer_state, sub,
-                    grid_size=self.net.cfg.grid_size)
+                # full probes while the grid still carves (warmup); after
+                # that, rotate strided partial probes (the reference's
+                # partial-update path, renderer.py:472-500) at 1/n_blocks
+                # the cost per refresh
+                warmup = getattr(self.opt, "grid_warmup_steps", 0)
+                n_blocks = int(getattr(self.opt, "grid_partial_blocks", 4))
+                total = self.net.cfg.grid_size ** 3
+                if (self.global_step <= warmup or n_blocks <= 1
+                        or total % n_blocks != 0):
+                    self.renderer_state = R.update_extra_state(
+                        self.net, probe, self.renderer_state, sub,
+                        grid_size=self.net.cfg.grid_size)
+                else:
+                    block = getattr(self, "_grid_block", 0)
+                    self.renderer_state = R.update_extra_state(
+                        self.net, probe, self.renderer_state, sub,
+                        grid_size=self.net.cfg.grid_size,
+                        n_blocks=n_blocks, block=block)
+                    self._grid_block = (block + 1) % n_blocks
             self.local_step += 1
             self.global_step += 1
             _, loss = self.train_step(data)

@@ -33,6 +33,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", default="fast,guided,baked")
     ap.add_argument("--distill-steps", type=int, default=2000)
+    ap.add_argument("--finetune-steps", type=int, default=0)
+    ap.add_argument("--finetune-pool-views", type=int, default=64)
     ap.add_argument("--distill-hidden", type=int, default=128)
     ap.add_argument("--distill-layers", type=int, default=4)
     ap.add_argument("--multires", type=int, default=10)
@@ -154,6 +156,51 @@ def main():
             prepass_factor=args.prepass_factor, max_samples=args.guided_k,
             tile=TILE, max_steps=512, dt_gamma=1.0 / 64,
             margin_cells=args.margin_cells)["image"])
+        # teacher-scout variant: windows placed by the teacher's march,
+        # fine shade by the gather-free student
+        run_mode("baked_tp", lambda: R.render_frame_guided(
+            student, sparams, state, rays_o, rays_d, H, W,
+            prepass_factor=args.prepass_factor, max_samples=args.guided_k,
+            tile=TILE, max_steps=512, dt_gamma=1.0 / 64,
+            margin_cells=args.margin_cells, prepass_net=net_fused,
+            prepass_params=fparams)["image"])
+
+        if args.finetune_steps:
+            from nerfsafetyvalidation_tpu.models.bake import finetune_render
+            # ray pool from random orbit cameras covering the training shell
+            rng = np.random.default_rng(11)
+            pool_res = 128
+            pool_o, pool_d = [], []
+            for _ in range(args.finetune_pool_views):
+                th = rng.uniform(0, 2 * np.pi)
+                ph = rng.uniform(0.15, 1.2)
+                rad = rng.uniform(2.2, 2.6)
+                p = orbit_pose(th, ph, rad)
+                p_ngp = nerf_matrix_to_ngp(p, scale=1.0,
+                                           offset=(0.0, 0.0, 0.0))
+                fxp = 0.5 * pool_res / np.tan(0.5 * fov_x)
+                r = get_rays(jnp.asarray(p_ngp[None]),
+                             (fxp, fxp, pool_res / 2, pool_res / 2),
+                             pool_res, pool_res)
+                pool_o.append(np.asarray(r["rays_o"]).reshape(-1, 3))
+                pool_d.append(np.asarray(r["rays_d"]).reshape(-1, 3))
+            pool_o = jnp.asarray(np.concatenate(pool_o))
+            pool_d = jnp.asarray(np.concatenate(pool_d))
+            t0 = time.perf_counter()
+            sparams, ft_loss = finetune_render(
+                student, sparams, net_fused, fparams, state, pool_o, pool_d,
+                jax.random.PRNGKey(13), steps=args.finetune_steps,
+                K=args.guided_k, margin_cells=args.margin_cells,
+                log_every=500)
+            print(json.dumps({"mode": "finetune", "loss": round(ft_loss, 6),
+                              "secs": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+            run_mode("baked_ft", lambda: R.render_frame_guided(
+                student, sparams, state, rays_o, rays_d, H, W,
+                prepass_factor=args.prepass_factor,
+                max_samples=args.guided_k, tile=TILE, max_steps=512,
+                dt_gamma=1.0 / 64,
+                margin_cells=args.margin_cells)["image"])
 
 
 if __name__ == "__main__":

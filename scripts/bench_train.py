@@ -1,0 +1,143 @@
+"""Steady-state training throughput (ms/step @ 4096 rays, post-carve).
+
+VERDICT r2 item 5 measurement harness: loads the trained bench checkpoint
+(.bench_cache), rebuilds the post-carve training configuration (K=32,
+budget 16) and times (a) the bare jitted train step and (b) the amortized
+grid refresh — full probe vs the strided partial probes
+(--grid-partial-blocks), on the tunneled TPU.
+
+Usage: python scripts/bench_train.py [--steps 64] [--interval 16]
+       [--grid-partial-blocks 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--interval", type=int, default=16)
+    ap.add_argument("--grid-partial-blocks", type=int, default=4)
+    ap.add_argument("--num-rays", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import bench
+    from nerfsafetyvalidation_tpu.models import renderer as R
+    from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
+
+    net, params, state = bench._train_flagship()
+
+    # rebuild the trainer exactly as bench does, but resume from the
+    # checkpoint and measure steps only
+    from nerfsafetyvalidation_tpu.train.trainer import Trainer
+
+    scene_dir = os.path.join(bench._CACHE, "scene")
+
+    class Opt:
+        path = scene_dir
+        color_space = "srgb"
+        scale = 1.0
+        offset = (0.0, 0.0, 0.0)
+        bound = 1.0
+        fp16 = True
+        preload = True
+        rand_pose = -1
+        downscale = 1
+        num_rays = args.num_rays
+        error_map = False
+        lr = 1e-2
+        iters = 10 ** 9
+        num_steps = 128
+        upsample_steps = 0
+        max_ray_batch = 4096
+        grid_max_samples = 32          # post-carve values
+        grid_samples_per_hit = 2
+        grid_sample_budget_per_ray = 16
+        grid_warmup_steps = 0
+        grid_budget_after_warmup = 16
+        grid_max_samples_after_warmup = 32
+        grid_partial_blocks = args.grid_partial_blocks
+        update_extra_interval = args.interval
+        max_steps = 1024
+        dt_gamma = 1.0 / 64
+        seed = 0
+
+    train_loader = NeRFDataset(Opt, type="train").dataloader()
+    trainer = Trainer("flagship", Opt, net,
+                      workspace=os.path.join(bench._CACHE, "ws"),
+                      use_checkpoint="latest", fp16=True, mute=True,
+                      eval_interval=10 ** 9)
+    trainer.renderer_state = state
+    trainer.global_step = max(trainer.global_step, 10 ** 6)  # post-warmup
+
+    data = next(iter(train_loader))
+
+    def fetch():
+        leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+        _ = np.asarray(leaf.ravel()[:1])
+
+    # warm the step jit, then time the bare step
+    trainer.train_step(data)
+    fetch()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        trainer.train_step(data)
+    fetch()
+    dt_step = (time.perf_counter() - t0) / args.steps
+
+    # grid refresh timing (full vs partial)
+    probe = net.to_folded(trainer.params) \
+        if net.cfg.encoding == "mipfold" else trainer.params
+
+    def time_update(n_blocks, block):
+        st = R.update_extra_state(net, probe, trainer.renderer_state,
+                                  jax.random.PRNGKey(0),
+                                  grid_size=net.cfg.grid_size,
+                                  n_blocks=n_blocks, block=block)
+        _ = np.asarray(st.mean_density)          # warm + fence
+        t0 = time.perf_counter()
+        for i in range(4):
+            st = R.update_extra_state(net, probe, trainer.renderer_state,
+                                      jax.random.PRNGKey(i),
+                                      grid_size=net.cfg.grid_size,
+                                      n_blocks=n_blocks, block=block)
+            _ = np.asarray(st.mean_density)
+        return (time.perf_counter() - t0) / 4
+
+    t_full = time_update(1, 0)
+    nb = args.grid_partial_blocks
+    t_part = time_update(nb, 0) if nb > 1 else t_full
+
+    amort_full = t_full / args.interval
+    amort_part = t_part / args.interval
+    total_ms = (dt_step + amort_part) * 1e3
+    print(json.dumps({
+        "ms_per_step_bare": round(dt_step * 1e3, 2),
+        "grid_update_full_ms": round(t_full * 1e3, 1),
+        "grid_update_partial_ms": round(t_part * 1e3, 1),
+        "partial_blocks": nb,
+        "interval": args.interval,
+        "ms_per_step_with_refresh": round(total_ms, 2),
+        "steps_per_s": round(1e3 / total_ms, 1),
+        "num_rays": args.num_rays,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
