@@ -124,6 +124,120 @@ def _train_flagship():
     return net, trainer.params, state
 
 
+def _get_student(net, fparams, state, key):
+    """Distill (or reload) the gather-free student for the baked render
+    path (models/bake.py); cached in .bench_cache/bench_student.pkl."""
+    import pickle
+    import jax
+    from nerfsafetyvalidation_tpu.models import make_network
+    from nerfsafetyvalidation_tpu.models.bake import (distill, student_config,
+                                                     finetune_render)
+    from nerfsafetyvalidation_tpu.data.synthetic import orbit_pose
+    from nerfsafetyvalidation_tpu.data.rays import (get_rays,
+                                                    nerf_matrix_to_ngp)
+    import jax.numpy as jnp
+
+    scfg = student_config(net.cfg, multires=12, hidden_dim=256, num_layers=6)
+    cache_f = os.path.join(_CACHE, "bench_student.pkl")
+    student = make_network(scfg)
+    if os.path.exists(cache_f):
+        with open(cache_f, "rb") as f:
+            return student, pickle.load(f)
+
+    k1, k2 = jax.random.split(key)
+    student, sparams, _ = distill(net, fparams, state, k1, steps=8000,
+                                  cfg=scfg)
+    # pixel-space fine-tune on a random-orbit ray pool
+    rng = np.random.default_rng(11)
+    fov_x = 0.6911
+    pool_res = 128
+    pool_o, pool_d = [], []
+    for _ in range(64):
+        p = orbit_pose(rng.uniform(0, 2 * np.pi), rng.uniform(0.15, 1.2),
+                       rng.uniform(2.2, 2.6))
+        p_ngp = nerf_matrix_to_ngp(p, scale=1.0, offset=(0.0, 0.0, 0.0))
+        fxp = 0.5 * pool_res / np.tan(0.5 * fov_x)
+        r = get_rays(jnp.asarray(p_ngp[None]),
+                     (fxp, fxp, pool_res / 2, pool_res / 2),
+                     pool_res, pool_res)
+        pool_o.append(np.asarray(r["rays_o"]).reshape(-1, 3))
+        pool_d.append(np.asarray(r["rays_d"]).reshape(-1, 3))
+    sparams, _ = finetune_render(
+        student, sparams, net, fparams, state,
+        jnp.asarray(np.concatenate(pool_o)),
+        jnp.asarray(np.concatenate(pool_d)), k2, steps=4000, K=MAX_SAMPLES)
+    with open(cache_f, "wb") as f:
+        import jax as _jax
+        pickle.dump(_jax.device_get(sparams), f)
+    return student, sparams
+
+
+def _train_ref_backbone():
+    """Reference-semantics NeRFNetwork (hashgrid corner layout) through the
+    SAME training loop — the second fidelity line the bench reports."""
+    import jax
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models import make_network
+    from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
+    from nerfsafetyvalidation_tpu.train.trainer import Trainer
+    from nerfsafetyvalidation_tpu.models import renderer as R
+
+    scene_dir = os.path.join(_CACHE, "scene")
+    cfg = NetworkConfig(encoding="hashgrid", bound=1.0,
+                        compute_dtype="bfloat16", grid_ray=True,
+                        density_thresh=10.0)
+    net = make_network(cfg)
+
+    class O:
+        path = scene_dir
+        color_space = "srgb"
+        scale = 1.0
+        offset = (0.0, 0.0, 0.0)
+        bound = 1.0
+        fp16 = True
+        preload = True
+        rand_pose = -1
+        downscale = 1
+        num_rays = 4096
+        error_map = False
+        lr = 1e-2
+        iters = BENCH_ITERS
+        num_steps = 128
+        upsample_steps = 0
+        max_ray_batch = 4096
+        grid_max_samples = 96
+        grid_samples_per_hit = 2
+        grid_sample_budget_per_ray = 48
+        grid_warmup_steps = 512
+        grid_budget_after_warmup = 16
+        grid_max_samples_after_warmup = 32
+        max_steps = 1024
+        dt_gamma = 1.0 / 64
+        seed = 0
+
+    train_loader = NeRFDataset(O, type="train").dataloader()
+    valid_loader = NeRFDataset(O, type="val").dataloader()
+    max_epoch = int(np.ceil(BENCH_ITERS / len(train_loader)))
+    trainer = Trainer("refbb", O, net,
+                      workspace=os.path.join(_CACHE, "ws_ref"),
+                      use_checkpoint="latest", fp16=True, mute=True,
+                      eval_interval=10 ** 9)
+    if trainer.epoch < max_epoch:
+        trainer.train(train_loader, valid_loader, max_epoch)
+        trainer.save_checkpoint(full=True)
+    state = trainer.renderer_state
+    for i in range(4):
+        state = R.update_extra_state(net, trainer.params, state,
+                                     jax.random.PRNGKey(100 + i),
+                                     grid_size=cfg.grid_size)
+    return net, trainer.params, state
+
+
+# four held-out orbit poses (none in any training/val/test split —
+# scene_views draws from different seeds)
+HOLDOUT = [(0.77, 0.52), (2.31, 0.30), (3.85, 0.65), (5.40, 0.42)]
+
+
 def main():
     os.makedirs(_CACHE, exist_ok=True)
     import jax
@@ -135,7 +249,6 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from functools import partial
     from nerfsafetyvalidation_tpu.models import renderer as R
     from nerfsafetyvalidation_tpu.data.synthetic import (orbit_pose,
                                                          camera_rays, trace)
@@ -148,67 +261,151 @@ def main():
     # (ops/pallas/render_mlp.py)
     from dataclasses import replace as _replace
     from nerfsafetyvalidation_tpu.models import make_network
-    net = make_network(_replace(net.cfg, fused=True))
+    net_fused = make_network(_replace(net.cfg, fused=True))
 
-    # held-out bench pose (not in any training split)
     H = W = int(os.environ.get("BENCH_RES", "800"))
     fov_x = 0.6911
-    fx = fy = 0.5 * W / np.tan(0.5 * fov_x)
-    intr = (fx, fy, W / 2, H / 2)
-    pose = orbit_pose(0.77, 0.52, 2.4)
-    # ground truth is ray-traced in the RAW world frame; the model lives in
-    # the provider's NGP frame (nerf_matrix_to_ngp, provider.py:19-27), so
+    fx = 0.5 * W / np.tan(0.5 * fov_x)
+    intr = (fx, fx, W / 2, H / 2)
+    dt_gamma = float(os.environ.get("BENCH_DT_GAMMA", str(1.0 / 64)))
+    gate_db = float(os.environ.get("BENCH_GATE_DB", "28.0"))
+
+    # held-out poses: ground truth is ray-traced in the RAW world frame;
+    # the model lives in the provider's NGP frame (provider.py:19-27), so
     # render rays come from the converted pose — pixel-for-pixel the same
     # physical camera the training pipeline used
-    o_np, d_np = camera_rays(pose, intr, H, W)
-    gt_rgb, gt_alpha, _ = trace(o_np, d_np)
-    gt = gt_rgb * gt_alpha[..., None] + (1.0 - gt_alpha[..., None])  # white bg
-
-    pose_ngp = nerf_matrix_to_ngp(pose, scale=1.0, offset=(0.0, 0.0, 0.0))
-    rays = get_rays(jnp.asarray(pose_ngp[None]), intr, H, W)
-    rays_o = rays["rays_o"].reshape(-1, 3)
-    rays_d = rays["rays_d"].reshape(-1, 3)
-    n_rays = rays_o.shape[0]
+    views = []
+    for th, ph in HOLDOUT:
+        pose = orbit_pose(th, ph, 2.4)
+        o_np, d_np = camera_rays(pose, intr, H, W)
+        gt_rgb, gt_alpha, _ = trace(o_np, d_np)
+        gt = gt_rgb * gt_alpha[..., None] + (1.0 - gt_alpha[..., None])
+        pose_ngp = nerf_matrix_to_ngp(pose, scale=1.0, offset=(0.0, 0.0, 0.0))
+        rays = get_rays(jnp.asarray(pose_ngp[None]), intr, H, W)
+        views.append((rays["rays_o"].reshape(-1, 3),
+                      rays["rays_d"].reshape(-1, 3), gt))
+    n_rays = views[0][0].shape[0]
     n_tiles = (n_rays + TILE - 1) // TILE
     pad = n_tiles * TILE - n_rays
-    if pad:
-        rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3))])
-        rays_d = jnp.concatenate(
-            [rays_d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))])
 
-    def render(params, state, ro, rd):
-        # sorted-shading fast path: empty-sky tiles skip encode+MLP
-        out = R.render_frame_fast(net, params, state, ro, rd, tile=TILE,
-                                  max_samples=MAX_SAMPLES, max_steps=512,
-                                  samples_per_hit=2,
-                                  dt_gamma=float(os.environ.get(
-                                      "BENCH_DT_GAMMA", str(1.0 / 64))))
-        return out["image"]
+    def padded(ro, rd):
+        if pad:
+            ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
+            rd = jnp.concatenate(
+                [rd, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                      (pad, 3))])
+        return ro, rd
 
-    img = render(fparams, state, rays_o, rays_d)
+    def psnr_of(img, gt):
+        pred = np.asarray(img[:n_rays]).reshape(H, W, 3)
+        mse = float(np.mean((pred - gt) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-10))
+
+    # ---- candidate render modes, fastest first; headline = first that
+    # clears the PSNR gate on the 4-pose mean
+    def mode_baked():
+        student, sparams = _get_student(net, fparams, state,
+                                        jax.random.PRNGKey(7))
+        return lambda ro, rd: R.render_frame_guided(
+            student, sparams, state, ro, rd, H, W, prepass_factor=8,
+            max_samples=MAX_SAMPLES, tile=TILE, max_steps=512,
+            dt_gamma=dt_gamma)["image"]
+
+    def mode_guided():
+        return lambda ro, rd: R.render_frame_guided(
+            net_fused, fparams, state, ro, rd, H, W, prepass_factor=8,
+            max_samples=MAX_SAMPLES, tile=TILE, max_steps=512,
+            dt_gamma=dt_gamma)["image"]
+
+    def mode_fast():
+        return lambda ro, rd: R.render_frame_fast(
+            net_fused, fparams, state, *padded(ro, rd), tile=TILE,
+            max_samples=MAX_SAMPLES, max_steps=512, samples_per_hit=2,
+            dt_gamma=dt_gamma)["image"]
+
+    mode_order = os.environ.get("BENCH_MODES", "baked,guided,fast").split(",")
+    builders = {"baked": mode_baked, "guided": mode_guided,
+                "fast": mode_fast}
+    labels = {
+        "baked": "distilled gather-free student, depth-guided windows",
+        "guided": "mip-fold NGP, depth-guided windowed fine pass",
+        "fast": "mip-fold NGP, occupancy-marched sorted shading",
+    }
+
+    all_modes = {}
+    headline = None
+    for name in mode_order:
+        try:
+            render = builders[name]()
+            psnrs = [psnr_of(render(v[0], v[1]), v[2]) for v in views]
+        except Exception as e:                              # noqa: BLE001
+            all_modes[name] = {"error": str(e)[:200]}
+            continue
+        mean_p = float(np.mean(psnrs))
+        min_p = float(np.min(psnrs))
+        all_modes[name] = {"psnr_mean": round(mean_p, 2),
+                           "psnr_min": round(min_p, 2)}
+        if headline is None and mean_p >= gate_db:
+            headline = (name, render, mean_p, min_p)
+    if headline is None:
+        # nothing cleared the gate: fall back to the best-PSNR mode
+        best = max((m for m in all_modes if "psnr_mean" in all_modes[m]),
+                   key=lambda m: all_modes[m]["psnr_mean"])
+        render = builders[best]()
+        headline = (best, render,
+                    all_modes[best]["psnr_mean"], all_modes[best]["psnr_min"])
+
+    name, render, mean_p, min_p = headline
+    ro, rd, _ = views[0]
+    img = render(ro, rd)
     _fetch1(img)
-
-    # fidelity gate: held-out-view PSNR vs the analytic ground truth
-    pred = np.asarray(img[:n_rays]).reshape(H, W, 3)
-    mse = float(np.mean((pred - gt) ** 2))
-    psnr = -10.0 * np.log10(max(mse, 1e-10))
-
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        img = render(fparams, state, rays_o, rays_d)
+        img = render(ro, rd)
         _fetch1(img)
     dt = (time.perf_counter() - t0) / n_iters
-
     rays_per_sec = n_rays / dt
-    print(json.dumps({
-        "metric": "rays/sec/chip (800^2 held-out render, trained mip-fold "
-                  "NGP, occupancy-marched, folded tables, bf16)",
+    all_modes[name]["rays_per_s"] = round(rays_per_sec)
+
+    # ---- second backbone line: reference-semantics hashgrid NeRFNetwork
+    ref = None
+    if os.environ.get("BENCH_REF", "1") != "0":
+        try:
+            rnet, rparams, rstate = _train_ref_backbone()
+            rro, rrd = padded(ro, rd)
+            rimg = R.render_frame_fast(
+                rnet, rparams, rstate, rro, rrd, tile=TILE,
+                max_samples=MAX_SAMPLES, max_steps=512, samples_per_hit=2,
+                dt_gamma=dt_gamma)["image"]
+            _fetch1(rimg)
+            t0 = time.perf_counter()
+            rimg = R.render_frame_fast(
+                rnet, rparams, rstate, rro, rrd, tile=TILE,
+                max_samples=MAX_SAMPLES, max_steps=512, samples_per_hit=2,
+                dt_gamma=dt_gamma)["image"]
+            _fetch1(rimg)
+            rdt = time.perf_counter() - t0
+            ref = {"psnr_db": round(psnr_of(rimg, views[0][2]), 2),
+                   "rays_per_s": round(n_rays / rdt)}
+        except Exception as e:                              # noqa: BLE001
+            ref = {"error": str(e)[:200]}
+
+    out = {
+        "metric": f"rays/sec/chip (800^2 held-out render, trained scene, "
+                  f"{labels[name]}, bf16)",
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC, 4),
-        "psnr_db": round(psnr, 2),
-    }))
+        "psnr_db": round(mean_p, 2),
+        "psnr_mean": round(mean_p, 2),
+        "psnr_min": round(min_p, 2),
+        "mode": name,
+        "modes": all_modes,
+    }
+    if ref is not None:
+        out["ref_backbone"] = ref
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -157,6 +157,17 @@ def finetune_render(student, sparams, teacher_net, teacher_params, state,
     including alpha interplay across the K window samples that pointwise
     sigma/rgb losses cannot see.
 
+    The deployed windows come from a 3x3-dilated min/max of a PREPASS
+    march with a fixed margin — their widths and centers vary, and
+    alpha = 1 - exp(-dtw * sigma) couples sigma to the window width dtw.
+    A fine-tune on one fixed window geometry overfits that dtw (measured:
+    -0.8 dB at 800^2 despite 4e-4 train MSE), so each step samples a
+    RANDOM window geometry per ray: margin scale in [0.7, 2.2], center
+    jitter +/- margin/2, and a `fullspan_frac` fraction of hit rays shaded
+    over the whole [near, far] segment. A small point-regression anchor
+    (`anchor_weight`) keeps the sigma field itself near the teacher so the
+    student-driven prepass march stays accurate.
+
     rays_o_pool/rays_d_pool: [P, 3] ray pool drawn from scene-covering
     poses (the caller samples them from training-like cameras). Returns
     (sparams, final_loss)."""
@@ -168,6 +179,9 @@ def finetune_render(student, sparams, teacher_net, teacher_params, state,
     margin = margin_cells * cell
     n_pool = rays_o_pool.shape[0]
     aabb = R.aabb_of(cfg)
+    fullspan_frac = 0.2
+    anchor_weight = 0.25
+    dt_ref = 2.0 * np.sqrt(3.0) / 512.0
 
     tx = optax.chain(optax.scale_by_adam(),
                      optax.scale_by_schedule(
@@ -176,7 +190,8 @@ def finetune_render(student, sparams, teacher_net, teacher_params, state,
 
     @jax.jit
     def step_fn(sparams, opt_state, key, teacher_params, ro_pool, rd_pool):
-        idx = jax.random.randint(key, (batch,), 0, n_pool)
+        k_idx, k_m, k_c, k_f = jax.random.split(key, 4)
+        idx = jax.random.randint(k_idx, (batch,), 0, n_pool)
         ro = jnp.take(ro_pool, idx, axis=0)
         rd = jnp.take(rd_pool, idx, axis=0)
 
@@ -192,18 +207,35 @@ def finetune_render(student, sparams, teacher_net, teacher_params, state,
         nears, fars = near_far_from_aabb(ro, rd, aabb, cfg.min_near)
         hit = ws_t > 0.1
         t_hit = dabs / jnp.clip(ws_t, 0.1, None)
-        t0 = jnp.where(hit, jnp.clip(t_hit - margin, nears, fars), nears)
-        t1 = jnp.where(hit, jnp.clip(t_hit + margin, nears, fars), fars)
+        # randomized window geometry (see docstring)
+        mscale = jax.random.uniform(k_m, (batch,), minval=0.7, maxval=2.2)
+        cjit = jax.random.uniform(k_c, (batch,), minval=-0.5,
+                                  maxval=0.5) * margin
+        m_r = margin * mscale
+        ctr = t_hit + cjit
+        full = jax.random.uniform(k_f, (batch,)) < fullspan_frac
+        t0 = jnp.where(hit & ~full, jnp.clip(ctr - m_r, nears, fars), nears)
+        t1 = jnp.where(hit & ~full, jnp.clip(ctr + m_r, nears, fars), fars)
+
+        dtw = (t1 - t0) / K
+        jj = jnp.arange(K, dtype=jnp.float32) + 0.5
+        z = t0[:, None] + dtw[:, None] * jj[None, :]              # [B, K]
+        xyz = jnp.clip(ro[:, None, :] + z[..., None] * rd[:, None, :],
+                       -bound, bound).reshape(-1, 3)
+        dirs = jnp.broadcast_to(rd[:, None, :],
+                                (batch, K, 3)).reshape(-1, 3)
+        # teacher point targets at the SAME samples (sigma-field anchor)
+        sig_a, rgb_a = teacher_net.apply(teacher_params, xyz, dirs)
+        sig_a = jax.lax.stop_gradient(sig_a)
+        rgb_a = jax.lax.stop_gradient(rgb_a)
+        w_a = 1.0 - jnp.exp(-dt_ref * sig_a)
 
         def loss_fn(p):
-            dtw = (t1 - t0) / K
-            jj = jnp.arange(K, dtype=jnp.float32) + 0.5
-            z = t0[:, None] + dtw[:, None] * jj[None, :]          # [B, K]
-            xyz = jnp.clip(ro[:, None, :] + z[..., None] * rd[:, None, :],
-                           -bound, bound).reshape(-1, 3)
-            dirs = jnp.broadcast_to(rd[:, None, :],
-                                    (batch, K, 3)).reshape(-1, 3)
             sig, rgb = student.apply(p, xyz, dirs)
+            l_anchor = jnp.mean(optax.huber_loss(
+                jnp.log1p(sig), jnp.log1p(sig_a), delta=1.0)) \
+                + jnp.sum(w_a[:, None] * (rgb - rgb_a) ** 2) \
+                / (3.0 * jnp.sum(w_a) + 1e-6)
             sig = sig.reshape(batch, K)
             rgb = rgb.reshape(batch, K, 3)
             alphas = 1.0 - jnp.exp(-dtw[:, None] * cfg.density_scale * sig)
@@ -215,7 +247,8 @@ def finetune_render(student, sparams, teacher_net, teacher_params, state,
             ws = jnp.sum(wgt, axis=-1)
             img = jnp.sum(wgt[..., None] * rgb, axis=-2) \
                 + (1.0 - ws)[..., None]                          # white bg
-            return jnp.mean((img - target) ** 2)
+            return jnp.mean((img - target) ** 2) \
+                + anchor_weight * l_anchor
 
         loss, grads = jax.value_and_grad(loss_fn)(sparams)
         updates, opt_state = tx.update(grads, opt_state, sparams)

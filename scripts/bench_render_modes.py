@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=2000)
     ap.add_argument("--finetune-steps", type=int, default=0)
     ap.add_argument("--finetune-pool-views", type=int, default=64)
+    ap.add_argument("--no-student-cache", action="store_true")
     ap.add_argument("--distill-hidden", type=int, default=128)
     ap.add_argument("--distill-layers", type=int, default=4)
     ap.add_argument("--multires", type=int, default=10)
@@ -139,18 +140,33 @@ def main():
             margin_cells=args.margin_cells)["image"])
 
     if "baked" in modes:
+        import pickle
         from nerfsafetyvalidation_tpu.models.bake import (distill,
                                                           student_config)
+        from nerfsafetyvalidation_tpu.models import make_network
         scfg = student_config(net.cfg, multires=args.multires,
                               hidden_dim=args.distill_hidden,
                               num_layers=args.distill_layers)
-        t0 = time.perf_counter()
-        student, sparams, loss = distill(
-            net, fparams, state, jax.random.PRNGKey(7),
-            steps=args.distill_steps, cfg=scfg, log_every=500)
-        print(json.dumps({"mode": "distill", "loss": round(loss, 6),
-                          "secs": round(time.perf_counter() - t0, 1)}),
-              flush=True)
+        cache_f = os.path.join(
+            bench._CACHE,
+            f"student_s{args.distill_steps}_h{args.distill_hidden}"
+            f"_l{args.distill_layers}_m{args.multires}.pkl")
+        if os.path.exists(cache_f) and not args.no_student_cache:
+            with open(cache_f, "rb") as f:
+                sparams = pickle.load(f)
+            student = make_network(scfg)
+            print(json.dumps({"mode": "distill", "cached": True}),
+                  flush=True)
+        else:
+            t0 = time.perf_counter()
+            student, sparams, loss = distill(
+                net, fparams, state, jax.random.PRNGKey(7),
+                steps=args.distill_steps, cfg=scfg, log_every=500)
+            print(json.dumps({"mode": "distill", "loss": round(loss, 6),
+                              "secs": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+            with open(cache_f, "wb") as f:
+                pickle.dump(jax.device_get(sparams), f)
         run_mode("baked", lambda: R.render_frame_guided(
             student, sparams, state, rays_o, rays_d, H, W,
             prepass_factor=args.prepass_factor, max_samples=args.guided_k,
@@ -167,6 +183,18 @@ def main():
 
         if args.finetune_steps:
             from nerfsafetyvalidation_tpu.models.bake import finetune_render
+            ft_cache = cache_f.replace(".pkl",
+                                       f"_ft{args.finetune_steps}"
+                                       f"_k{args.guided_k}.pkl")
+            if os.path.exists(ft_cache) and not args.no_student_cache:
+                with open(ft_cache, "rb") as f:
+                    sparams = pickle.load(f)
+                print(json.dumps({"mode": "finetune", "cached": True}),
+                      flush=True)
+                run_ft_cached = True
+            else:
+                run_ft_cached = False
+        if args.finetune_steps and not run_ft_cached:
             # ray pool from random orbit cameras covering the training shell
             rng = np.random.default_rng(11)
             pool_res = 128
@@ -195,12 +223,21 @@ def main():
             print(json.dumps({"mode": "finetune", "loss": round(ft_loss, 6),
                               "secs": round(time.perf_counter() - t0, 1)}),
                   flush=True)
+            with open(ft_cache, "wb") as f:
+                pickle.dump(jax.device_get(sparams), f)
+        if args.finetune_steps:
             run_mode("baked_ft", lambda: R.render_frame_guided(
                 student, sparams, state, rays_o, rays_d, H, W,
                 prepass_factor=args.prepass_factor,
                 max_samples=args.guided_k, tile=TILE, max_steps=512,
                 dt_gamma=1.0 / 64,
                 margin_cells=args.margin_cells)["image"])
+            run_mode("baked_ft_tp", lambda: R.render_frame_guided(
+                student, sparams, state, rays_o, rays_d, H, W,
+                prepass_factor=args.prepass_factor,
+                max_samples=args.guided_k, tile=TILE, max_steps=512,
+                dt_gamma=1.0 / 64, margin_cells=args.margin_cells,
+                prepass_net=net_fused, prepass_params=fparams)["image"])
 
 
 if __name__ == "__main__":

