@@ -201,14 +201,18 @@ def _train_ref_backbone():
         num_rays = 4096
         error_map = False
         lr = 1e-2
-        iters = BENCH_ITERS
+        # the ref line is a FIDELITY check, not a throughput line: the
+        # corner layout pays 128 fwd + 128 bwd rows/sample, so the warmup
+        # budget is trimmed vs the flagship (48/ray for 512 steps would
+        # cost ~4 s/step) and the run stops at 960 iters
+        iters = min(BENCH_ITERS, 960)
         num_steps = 128
         upsample_steps = 0
         max_ray_batch = 4096
-        grid_max_samples = 96
+        grid_max_samples = 48
         grid_samples_per_hit = 2
-        grid_sample_budget_per_ray = 48
-        grid_warmup_steps = 512
+        grid_sample_budget_per_ray = 24
+        grid_warmup_steps = 128
         grid_budget_after_warmup = 16
         grid_max_samples_after_warmup = 32
         max_steps = 1024
@@ -217,7 +221,7 @@ def _train_ref_backbone():
 
     train_loader = NeRFDataset(O, type="train").dataloader()
     valid_loader = NeRFDataset(O, type="val").dataloader()
-    max_epoch = int(np.ceil(BENCH_ITERS / len(train_loader)))
+    max_epoch = int(np.ceil(O.iters / len(train_loader)))
     trainer = Trainer("refbb", O, net,
                       workspace=os.path.join(_CACHE, "ws_ref"),
                       use_checkpoint="latest", fp16=True, mute=True,
@@ -304,17 +308,19 @@ def main():
     # ---- candidate render modes, fastest first; headline = first that
     # clears the PSNR gate on the 4-pose mean
     def mode_baked():
+        # gather-free end to end: student scout prepass fused into the
+        # fine jit (prepass_mode="scout") + raster-order tiles
         student, sparams = _get_student(net, fparams, state,
                                         jax.random.PRNGKey(7))
         return lambda ro, rd: R.render_frame_guided(
             student, sparams, state, ro, rd, H, W, prepass_factor=8,
-            max_samples=MAX_SAMPLES, tile=TILE, max_steps=512,
-            dt_gamma=dt_gamma)["image"]
+            max_samples=MAX_SAMPLES, tile=8192, max_steps=512,
+            dt_gamma=dt_gamma, prepass_mode="scout")["image"]
 
     def mode_guided():
         return lambda ro, rd: R.render_frame_guided(
             net_fused, fparams, state, ro, rd, H, W, prepass_factor=8,
-            max_samples=MAX_SAMPLES, tile=TILE, max_steps=512,
+            max_samples=MAX_SAMPLES, tile=8192, max_steps=512,
             dt_gamma=dt_gamma)["image"]
 
     def mode_fast():
@@ -334,6 +340,7 @@ def main():
 
     all_modes = {}
     headline = None
+    eval_all = os.environ.get("BENCH_ALL_MODES", "0") == "1"
     for name in mode_order:
         try:
             render = builders[name]()
@@ -347,6 +354,11 @@ def main():
                            "psnr_min": round(min_p, 2)}
         if headline is None and mean_p >= gate_db:
             headline = (name, render, mean_p, min_p)
+            if not eval_all:
+                # wall-clock discipline: later modes are slower by
+                # construction; skip compiling them (BENCH_ALL_MODES=1
+                # to evaluate every mode's PSNR)
+                break
     if headline is None:
         # nothing cleared the gate: fall back to the best-PSNR mode
         best = max((m for m in all_modes if "psnr_mean" in all_modes[m]),

@@ -756,6 +756,100 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
 _FRAME_GUIDED_CACHE = {}
 
 
+def _scout_field(p_net, p_params, pre_o, pre_d, S, cfg, aabb):
+    """Uniform-sampling density scout along [near, far] — the gather-free
+    prepass: S samples/ray through the prepass net's density head, one
+    transmittance composite. Returns (pre_dabs, pre_ws): the
+    opacity-weighted absolute sample t and the opacity, the same contract
+    render_frame_fast's marched prepass provides."""
+    P = pre_o.shape[0]
+    nrp, frp = near_far_from_aabb(pre_o, pre_d, aabb, cfg.min_near)
+    dtp = (frp - nrp) / S
+    jjp = jnp.arange(S, dtype=jnp.float32) + 0.5
+    z = nrp[:, None] + dtp[:, None] * jjp[None, :]               # [P, S]
+    xyz = jnp.clip(pre_o[:, None, :] + z[..., None] * pre_d[:, None, :],
+                   -cfg.bound, cfg.bound).reshape(-1, 3)
+    if hasattr(p_net, "density"):
+        sig = p_net.density(p_params, xyz)["sigma"]
+    else:
+        dirs_p = jnp.broadcast_to(pre_d[:, None, :],
+                                  (P, S, 3)).reshape(-1, 3)
+        sig, _ = p_net.apply(p_params, xyz, dirs_p)
+    sig = sig.reshape(P, S)
+    alphas = 1.0 - jnp.exp(-dtp[:, None] * cfg.density_scale * sig)
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-15], axis=-1)
+    trans = jnp.cumprod(shifted, axis=-1)[:, :-1]
+    wgt = alphas * trans
+    return jnp.sum(wgt * z, axis=-1), jnp.sum(wgt, axis=-1)
+
+
+def _window_grids(pre_dabs, pre_ws, h, w):
+    """Per prepass pixel: hit depth where opacity > 0.1, then a 3x3
+    conservative [min, max] neighborhood pool. Returns ([h, w] each)
+    tmin, tmax, anyhit."""
+    t_hit = (pre_dabs / jnp.clip(pre_ws, 0.1, None)).reshape(h, w)
+    hit_p = (pre_ws > 0.1).reshape(h, w)
+    big = jnp.float32(1e9)
+    tmin = jnp.where(hit_p, t_hit, big)
+    tmax = jnp.where(hit_p, t_hit, -big)
+    pad_min = jnp.pad(tmin, 1, constant_values=big)
+    pad_max = jnp.pad(tmax, 1, constant_values=-big)
+    mins, maxs = [], []
+    for dy in range(3):
+        for dx in range(3):
+            mins.append(pad_min[dy:dy + h, dx:dx + w])
+            maxs.append(pad_max[dy:dy + h, dx:dx + w])
+    tmin = jnp.min(jnp.stack(mins), axis=0)
+    tmax = jnp.max(jnp.stack(maxs), axis=0)
+    return tmin, tmax, tmin < big
+
+
+def _window_shade_tile(net, cfg, params, tile, K, bg_color, args):
+    """Shade one tile of rays with K uniform samples inside the per-ray
+    [ta, tb] window; tiles with no hit ray short-circuit to background.
+    Returns (img, depth, agg, ws, uq-moments)."""
+    o, d, ta, tb, nr, fr, ht = args
+
+    def empty(_):
+        img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
+        return (img, jnp.zeros((tile,)), jnp.zeros((tile,)),
+                jnp.zeros((tile,)), jnp.zeros((4,)))
+
+    def shade(_):
+        dtw = (tb - ta) / K                              # [tile]
+        jj = (jnp.arange(K, dtype=jnp.float32) + 0.5)
+        z = ta[:, None] + dtw[:, None] * jj[None, :]     # [tile, K]
+        mask = ht[:, None] & (z < fr[:, None])
+        xyz = jnp.clip(o[:, None, :] + z[..., None] * d[:, None, :],
+                       -cfg.bound, cfg.bound).reshape(-1, 3)
+        dirs = jnp.broadcast_to(d[:, None, :],
+                                (tile, K, 3)).reshape(-1, 3)
+        sigmas, rgbs = net.apply(params, xyz, dirs)
+        sigmas = jnp.where(mask, sigmas.reshape(tile, K), 0.0)
+        rgbs = rgbs.reshape(tile, K, 3)
+        alphas = 1.0 - jnp.exp(
+            -dtw[:, None] * cfg.density_scale * sigmas)
+        shifted = jnp.concatenate(
+            [jnp.ones_like(alphas[:, :1]),
+             1.0 - alphas + 1e-15], axis=-1)
+        trans = jnp.cumprod(shifted, axis=-1)[:, :-1]
+        wgt = alphas * trans
+        ws = jnp.sum(wgt, axis=-1)
+        img = jnp.sum(wgt[..., None] * rgbs, axis=-2) \
+            + (1.0 - ws)[..., None] * bg_color
+        safe = jnp.where(fr > nr, fr - nr, 1.0)
+        depth = jnp.sum(wgt * jnp.clip(z - nr[:, None], 0.0,
+                                       None), axis=-1) / safe
+        agg = jnp.sum(wgt * sigmas, axis=-1)
+        cd = rgbs * sigmas[..., None]
+        mom = jnp.stack([jnp.sum(cd * cd), jnp.sum(cd),
+                         jnp.sum(sigmas), jnp.sum(sigmas ** 2)])
+        return img, depth, agg, ws, mom
+
+    return jax.lax.cond(jnp.any(ht), shade, empty, None)
+
+
 def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                         H: int, W: int, prepass_factor: int = 8,
                         max_samples: int = 16, tile: int = 131072,
@@ -763,7 +857,10 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                         bg_color: float = 1.0, margin_cells: float = 6.0,
                         prepass_tile: int = 16384, prepass_march_tile: int = 8192,
                         samples_per_hit: int = 2, return_moments: bool = False,
-                        prepass_net=None, prepass_params=None):
+                        prepass_net=None, prepass_params=None,
+                        fine_order: str = "natural",
+                        prepass_mode: str = "march",
+                        scout_samples: int = 64):
     """Two-pass frame render built around the measured gather wall
     (BENCH_NOTES "ceiling proof"): the per-cell DDA march — whose serial
     occupancy gathers dominate render time — runs only for a low-res
@@ -782,6 +879,21 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
     edges are covered by the 3x3 dilation (one prepass block = 
     prepass_factor pixels).
 
+    fine_order: "natural" (default) shades fixed raster-order tiles —
+    pure-sky row-bands skip via a per-tile cond at zero permutation cost;
+    "partition" compacts hit rays first (cumsum partition + 6 wide-row
+    gathers + unpermute), which skips more tiles but the permutation
+    itself costs ~100 ms at 640k rays — more than the shading it saves.
+
+    prepass_mode: "march" scouts depth with the occupancy-marched fast
+    path (its own jit; ~60 ms at f=8 — the DDA's serial bitfield gathers).
+    "scout" replaces the march with `scout_samples` UNIFORM samples per
+    prepass ray evaluated through the prepass net's density head, fused
+    into the same jit as the fine pass — zero occupancy-grid traffic, and
+    for a gather-free student the whole frame becomes pure dense compute.
+    The coarse-dt depth bias (span/scout_samples/2 ~ 1.7 cells at S=64)
+    sits well inside the margin_cells=6 window.
+
     rays_o/d: [H*W, 3] row-major. Returns the render_frame_fast dict.
     """
     cfg = net.cfg
@@ -795,55 +907,38 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
     cell = 2.0 * cfg.bound / cfg.grid_size
     margin = margin_cells * cell
 
-    # ---- prepass: subsampled march+shade through the fast path (its own jit)
+    # ---- prepass ray subsampling (one center ray per f x f block)
     yy = np.clip(np.arange(h) * f + f // 2, 0, H - 1)
     xx = np.clip(np.arange(w) * f + f // 2, 0, W - 1)
     pre_idx = (yy[:, None] * W + xx[None, :]).reshape(-1)
-    pre_o = jnp.take(rays_o, jnp.asarray(pre_idx), axis=0)
-    pre_d = jnp.take(rays_d, jnp.asarray(pre_idx), axis=0)
     # the depth scout may use a DIFFERENT field than the fine shade — e.g.
     # a distilled student shades while the teacher places the windows
     # (models/bake.py: student sigma bias otherwise shifts the windows)
     p_net = prepass_net if prepass_net is not None else net
     p_params = prepass_params if prepass_params is not None else params
-    pre = render_frame_fast(p_net, p_params, state, pre_o, pre_d,
-                            tile=min(prepass_tile, _round_up(h * w, 1024)),
-                            max_samples=K, max_steps=max_steps,
-                            dt_gamma=dt_gamma, bg_color=bg_color,
-                            samples_per_hit=samples_per_hit,
-                            march_tile=prepass_march_tile)
 
+    if fine_order == "natural":
+        # small raster-order tiles: sky skipping comes from image locality
+        # (whole sky row-bands skip via the per-tile cond) instead of a
+        # hit/miss partition — measured, the partition's 6 wide-row
+        # permutation gathers + unpermute cost MORE than the shading they
+        # save (~100 ms at 640k rays; BENCH_NOTES "ceiling proof")
+        tile = min(tile, 8192)
     n_tiles = (N + tile - 1) // tile
     Np = n_tiles * tile
 
-    cache_key = (id(net), H, W, f, K, tile, float(bg_color), float(margin),
-                 return_moments)
+    cache_key = (id(net), id(p_net), H, W, f, K, tile, float(bg_color),
+                 float(margin), return_moments, fine_order, prepass_mode,
+                 scout_samples)
     hit_fn = _FRAME_GUIDED_CACHE.get(cache_key)
     if hit_fn is None or hit_fn[0] is not net:
 
-        @jax.jit
-        def fine(params, rays_o, rays_d, pre_dabs, pre_ws):
+        def _body(params, rays_o, rays_d, pre_dabs, pre_ws):
             nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
                                              cfg.min_near)
             # absolute expected surface t (composite_marched depth_abs is
-            # the opacity-weighted sample t; normalize by the opacity)
-            t_hit = (pre_dabs / jnp.clip(pre_ws, 0.1, None)).reshape(h, w)
-            hit_p = (pre_ws > 0.1).reshape(h, w)
-
-            # 3x3 conservative min/max pooling over the prepass grid
-            big = jnp.float32(1e9)
-            tmin = jnp.where(hit_p, t_hit, big)
-            tmax = jnp.where(hit_p, t_hit, -big)
-            pad_min = jnp.pad(tmin, 1, constant_values=big)
-            pad_max = jnp.pad(tmax, 1, constant_values=-big)
-            mins, maxs = [], []
-            for dy in range(3):
-                for dx in range(3):
-                    mins.append(pad_min[dy:dy + h, dx:dx + w])
-                    maxs.append(pad_max[dy:dy + h, dx:dx + w])
-            tmin = jnp.min(jnp.stack(mins), axis=0)
-            tmax = jnp.max(jnp.stack(maxs), axis=0)
-            anyhit = tmin < big
+            # the opacity-weighted sample t) -> 3x3-dilated window grids
+            tmin, tmax, anyhit = _window_grids(pre_dabs, pre_ws, h, w)
 
             def up(m):  # nearest-neighbor upsample [h, w] -> [H*W]
                 m = jnp.broadcast_to(m[:, None, :, None], (h, f, w, f))
@@ -854,24 +949,32 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
             hit = up(anyhit.astype(jnp.float32)) > 0.5
             hit = hit & (fars > nears) & (t1 > t0)
 
-            # hits first; all-sky tiles skip shading entirely. The key is
-            # BOOLEAN, so a stable partition via two cumsums + one narrow
-            # int32 scatter replaces the O(N log^2 N) bitonic argsort
-            # (measured ~50 ms/frame back at 640k rays; BENCH_NOTES
-            # "ceiling proof": 4B scatters are ~18 ns/row, wide-row sorts
-            # are the expensive path). pos is ALSO the inverse permutation.
-            n_hit = jnp.sum(hit)
-            pos = jnp.where(hit, jnp.cumsum(hit) - 1,
-                            n_hit + jnp.cumsum(~hit) - 1)
-            order = jnp.zeros_like(pos).at[pos].set(
-                jnp.arange(pos.shape[0], dtype=pos.dtype))
-            o_s = jnp.take(rays_o, order, axis=0)
-            d_s = jnp.take(rays_d, order, axis=0)
-            t0_s = jnp.take(t0, order, axis=0)
-            t1_s = jnp.take(t1, order, axis=0)
-            nr_s = jnp.take(nears, order, axis=0)
-            fr_s = jnp.take(fars, order, axis=0)
-            hit_s = jnp.take(hit, order, axis=0)
+            if fine_order == "natural":
+                # raster order: zero permutation cost; sky row-bands skip
+                # via the per-tile cond below
+                pos = None
+                o_s, d_s = rays_o, rays_d
+                t0_s, t1_s, nr_s, fr_s, hit_s = t0, t1, nears, fars, hit
+            else:
+                # hits first; all-sky tiles skip shading entirely. The key
+                # is BOOLEAN, so a stable partition via two cumsums + one
+                # narrow int32 scatter replaces the O(N log^2 N) bitonic
+                # argsort (measured ~50 ms/frame back at 640k rays;
+                # BENCH_NOTES "ceiling proof": 4B scatters are ~18 ns/row,
+                # wide-row sorts are the expensive path). pos is ALSO the
+                # inverse permutation.
+                n_hit = jnp.sum(hit)
+                pos = jnp.where(hit, jnp.cumsum(hit) - 1,
+                                n_hit + jnp.cumsum(~hit) - 1)
+                order = jnp.zeros_like(pos).at[pos].set(
+                    jnp.arange(pos.shape[0], dtype=pos.dtype))
+                o_s = jnp.take(rays_o, order, axis=0)
+                d_s = jnp.take(rays_d, order, axis=0)
+                t0_s = jnp.take(t0, order, axis=0)
+                t1_s = jnp.take(t1, order, axis=0)
+                nr_s = jnp.take(nears, order, axis=0)
+                fr_s = jnp.take(fars, order, axis=0)
+                hit_s = jnp.take(hit, order, axis=0)
 
             pad = Np - N
             if pad:
@@ -887,45 +990,8 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                     [hit_s, jnp.zeros((pad,), dtype=bool)])
 
             def shade_tile(args):
-                o, d, ta, tb, nr, fr, ht = args
-
-                def empty(_):
-                    img = jnp.full((tile, 3), bg_color, dtype=jnp.float32)
-                    return (img, jnp.zeros((tile,)), jnp.zeros((tile,)),
-                            jnp.zeros((tile,)), jnp.zeros((4,)))
-
-                def shade(_):
-                    dtw = (tb - ta) / K                              # [tile]
-                    jj = (jnp.arange(K, dtype=jnp.float32) + 0.5)
-                    z = ta[:, None] + dtw[:, None] * jj[None, :]     # [tile,K]
-                    mask = ht[:, None] & (z < fr[:, None])
-                    xyz = jnp.clip(o[:, None, :] + z[..., None] * d[:, None, :],
-                                   -cfg.bound, cfg.bound).reshape(-1, 3)
-                    dirs = jnp.broadcast_to(d[:, None, :],
-                                            (tile, K, 3)).reshape(-1, 3)
-                    sigmas, rgbs = net.apply(params, xyz, dirs)
-                    sigmas = jnp.where(mask, sigmas.reshape(tile, K), 0.0)
-                    rgbs = rgbs.reshape(tile, K, 3)
-                    alphas = 1.0 - jnp.exp(
-                        -dtw[:, None] * cfg.density_scale * sigmas)
-                    shifted = jnp.concatenate(
-                        [jnp.ones_like(alphas[:, :1]),
-                         1.0 - alphas + 1e-15], axis=-1)
-                    trans = jnp.cumprod(shifted, axis=-1)[:, :-1]
-                    wgt = alphas * trans
-                    ws = jnp.sum(wgt, axis=-1)
-                    img = jnp.sum(wgt[..., None] * rgbs, axis=-2) \
-                        + (1.0 - ws)[..., None] * bg_color
-                    safe = jnp.where(fr > nr, fr - nr, 1.0)
-                    depth = jnp.sum(wgt * jnp.clip(z - nr[:, None], 0.0,
-                                                   None), axis=-1) / safe
-                    agg = jnp.sum(wgt * sigmas, axis=-1)
-                    cd = rgbs * sigmas[..., None]
-                    mom = jnp.stack([jnp.sum(cd * cd), jnp.sum(cd),
-                                     jnp.sum(sigmas), jnp.sum(sigmas ** 2)])
-                    return img, depth, agg, ws, mom
-
-                return jax.lax.cond(jnp.any(ht), shade, empty, None)
+                return _window_shade_tile(net, cfg, params, tile, K,
+                                          bg_color, args)
 
             img, depth, agg, ws, mom = jax.lax.map(
                 shade_tile, (o_s.reshape(n_tiles, tile, 3),
@@ -935,6 +1001,10 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                              nr_s.reshape(n_tiles, tile),
                              fr_s.reshape(n_tiles, tile),
                              hit_s.reshape(n_tiles, tile)))
+            if fine_order == "natural":
+                return (img.reshape(Np, 3)[:N], depth.reshape(Np)[:N],
+                        agg.reshape(Np)[:N], ws.reshape(Np)[:N],
+                        jnp.sum(mom, axis=0))
             inv = pos
             return (jnp.take(img.reshape(Np, 3)[:N], inv, axis=0),
                     jnp.take(depth.reshape(Np)[:N], inv, axis=0),
@@ -942,10 +1012,39 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                     jnp.take(ws.reshape(Np)[:N], inv, axis=0),
                     jnp.sum(mom, axis=0))
 
+        if prepass_mode == "scout":
+            pre_idx_j = jnp.asarray(pre_idx)
+            S = scout_samples
+
+            @jax.jit
+            def fine(params, p_params, rays_o, rays_d):
+                pre_o = jnp.take(rays_o, pre_idx_j, axis=0)
+                pre_d = jnp.take(rays_d, pre_idx_j, axis=0)
+                pre_dabs, pre_ws = _scout_field(p_net, p_params, pre_o,
+                                                pre_d, S, cfg, aabb)
+                return _body(params, rays_o, rays_d, pre_dabs, pre_ws)
+        else:
+            fine = jax.jit(_body)
         _FRAME_GUIDED_CACHE[cache_key] = (net, fine)
     fine = _FRAME_GUIDED_CACHE[cache_key][1]
-    img, depth, agg, ws, mom = fine(params, rays_o, rays_d, pre["depth_abs"],
-                                    pre["weights_sum"])
+    if prepass_mode == "scout":
+        img, depth, agg, ws, mom = fine(params, p_params, rays_o, rays_d)
+    else:
+        # marched prepass through the fast path (its own jit)
+        pre = render_frame_fast(p_net, p_params, state,
+                                jnp.take(rays_o, jnp.asarray(pre_idx),
+                                         axis=0),
+                                jnp.take(rays_d, jnp.asarray(pre_idx),
+                                         axis=0),
+                                tile=min(prepass_tile,
+                                         _round_up(h * w, 1024)),
+                                max_samples=K, max_steps=max_steps,
+                                dt_gamma=dt_gamma, bg_color=bg_color,
+                                samples_per_hit=samples_per_hit,
+                                march_tile=prepass_march_tile)
+        img, depth, agg, ws, mom = fine(params, rays_o, rays_d,
+                                        pre["depth_abs"],
+                                        pre["weights_sum"])
     out = {"image": img, "depth": depth, "aggregated_density": agg,
            "weights_sum": ws}
     if return_moments:

@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--margin-cells", type=float, default=6.0)
     ap.add_argument("--guided-k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--fine-order", default="natural",
+                    choices=["natural", "partition"])
+    ap.add_argument("--fine-tile", type=int, default=8192)
+    ap.add_argument("--prepass-mode", default="march",
+                    choices=["march", "scout"])
+    ap.add_argument("--scout-samples", type=int, default=64)
     args = ap.parse_args()
     modes = args.modes.split(",")
 
@@ -132,12 +138,17 @@ def main():
             dt_gamma=1.0 / 64, march_tile=8192)["image"],
             n_exp=h * w)
 
+    gkw = dict(prepass_factor=args.prepass_factor,
+               max_samples=args.guided_k, max_steps=512, dt_gamma=1.0 / 64,
+               margin_cells=args.margin_cells, fine_order=args.fine_order,
+               prepass_mode=args.prepass_mode,
+               scout_samples=args.scout_samples,
+               tile=args.fine_tile if args.fine_order == "natural" else TILE)
+
     if "guided" in modes:
         run_mode("guided", lambda: R.render_frame_guided(
             net_fused, fparams, state, rays_o, rays_d, H, W,
-            prepass_factor=args.prepass_factor, max_samples=args.guided_k,
-            tile=TILE, max_steps=512, dt_gamma=1.0 / 64,
-            margin_cells=args.margin_cells)["image"])
+            **gkw)["image"])
 
     if "baked" in modes:
         import pickle
@@ -168,18 +179,12 @@ def main():
             with open(cache_f, "wb") as f:
                 pickle.dump(jax.device_get(sparams), f)
         run_mode("baked", lambda: R.render_frame_guided(
-            student, sparams, state, rays_o, rays_d, H, W,
-            prepass_factor=args.prepass_factor, max_samples=args.guided_k,
-            tile=TILE, max_steps=512, dt_gamma=1.0 / 64,
-            margin_cells=args.margin_cells)["image"])
+            student, sparams, state, rays_o, rays_d, H, W, **gkw)["image"])
         # teacher-scout variant: windows placed by the teacher's march,
         # fine shade by the gather-free student
         run_mode("baked_tp", lambda: R.render_frame_guided(
             student, sparams, state, rays_o, rays_d, H, W,
-            prepass_factor=args.prepass_factor, max_samples=args.guided_k,
-            tile=TILE, max_steps=512, dt_gamma=1.0 / 64,
-            margin_cells=args.margin_cells, prepass_net=net_fused,
-            prepass_params=fparams)["image"])
+            prepass_net=net_fused, prepass_params=fparams, **gkw)["image"])
 
         if args.finetune_steps:
             from nerfsafetyvalidation_tpu.models.bake import finetune_render
@@ -228,16 +233,11 @@ def main():
         if args.finetune_steps:
             run_mode("baked_ft", lambda: R.render_frame_guided(
                 student, sparams, state, rays_o, rays_d, H, W,
-                prepass_factor=args.prepass_factor,
-                max_samples=args.guided_k, tile=TILE, max_steps=512,
-                dt_gamma=1.0 / 64,
-                margin_cells=args.margin_cells)["image"])
+                **gkw)["image"])
             run_mode("baked_ft_tp", lambda: R.render_frame_guided(
                 student, sparams, state, rays_o, rays_d, H, W,
-                prepass_factor=args.prepass_factor,
-                max_samples=args.guided_k, tile=TILE, max_steps=512,
-                dt_gamma=1.0 / 64, margin_cells=args.margin_cells,
-                prepass_net=net_fused, prepass_params=fparams)["image"])
+                prepass_net=net_fused, prepass_params=fparams,
+                **gkw)["image"])
 
 
 if __name__ == "__main__":

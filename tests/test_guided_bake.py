@@ -171,3 +171,42 @@ def test_finetune_render_improves_pixel_loss(frame_scene):
 
     assert err(sp1) <= err(sp0) * 1.5   # no catastrophic drift
 
+
+
+def test_guided_fine_orders_agree(frame_scene):
+    """fine_order='natural' (raster tiles, zero permutation) must be
+    BIT-EXACT with fine_order='partition' — same windows, same shading,
+    only the tile grouping differs."""
+    net, params, state, ro, rd, H, W = frame_scene
+    kw = dict(prepass_factor=4, max_samples=32, max_steps=128,
+              margin_cells=6.0, prepass_tile=1024, prepass_march_tile=1024)
+    a = R.render_frame_guided(net, params, state, ro, rd, H, W, tile=256,
+                              fine_order="partition", **kw)
+    b = R.render_frame_guided(net, params, state, ro, rd, H, W, tile=256,
+                              fine_order="natural", **kw)
+    # non-divisor tile exercises the natural-order padding
+    c = R.render_frame_guided(net, params, state, ro, rd, H, W, tile=100,
+                              fine_order="natural", **kw)
+    for k in ("image", "depth", "aggregated_density", "weights_sum"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(c[k]))
+
+
+def test_guided_scout_prepass_matches_march(frame_scene):
+    """prepass_mode='scout' (uniform density scout fused into the fine
+    jit, zero occupancy-grid traffic) places windows that agree with the
+    marched prepass to > 35 dB on the sphere scene."""
+    net, params, state, ro, rd, H, W = frame_scene
+    kw = dict(prepass_factor=4, max_samples=32, max_steps=128,
+              margin_cells=6.0, prepass_tile=1024,
+              prepass_march_tile=1024, tile=256)
+    a = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                              prepass_mode="march", **kw)
+    b = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                              prepass_mode="scout", scout_samples=64, **kw)
+    mse = float(np.mean((np.asarray(a["image"]) - np.asarray(b["image"])) ** 2))
+    assert -10.0 * np.log10(max(mse, 1e-12)) > 35.0
+    # scout sky stays background
+    sky = R.render_frame_guided(net, params, state, ro, -rd, H, W,
+                                prepass_mode="scout", scout_samples=32, **kw)
+    np.testing.assert_allclose(np.asarray(sky["image"]), 1.0, atol=1e-6)

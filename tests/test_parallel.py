@@ -102,3 +102,53 @@ def test_full_batched_engine_sharded(stack):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out0["sdf_vals"]),
                                np.asarray(out1["sdf_vals"]), rtol=1e-5)
+
+
+def test_sharded_guided_render_matches_single_device():
+    """Frame-banded sharded guided render (scout prepass, natural order)
+    is bit-comparable to the single-device render_frame_guided scout path
+    — every device recomputes the full window grids, so the windows (and
+    hence the shading) are identical."""
+    from nerfsafetyvalidation_tpu.parallel.render import (
+        render_frame_guided_sharded)
+    from nerfsafetyvalidation_tpu.ops.ray_ops import (morton3d, packbits,
+                                                      occupancy_to_skip_grid)
+    from tests.test_guided_bake import _SphereMaskedNet
+
+    cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                        grid_ray=True, density_scale=50.0)
+    net = _SphereMaskedNet(NeRFNetwork(cfg))
+    params = net.init(jax.random.PRNGKey(0))
+    G = cfg.grid_size
+    g = np.arange(G)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    c = 2.0 * (np.stack([xx, yy, zz], -1) + 0.5) / G - 1.0
+    occ = (np.linalg.norm(c, axis=-1) < 0.4).astype(np.float32) * 100
+    grid = np.zeros((cfg.cascade, G ** 3), np.float32)
+    coords = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+    idx = np.asarray(morton3d(jnp.asarray(coords)))
+    grid[0, idx] = occ.ravel()
+    gridj = jnp.asarray(grid)
+    state = R.RendererState(gridj, packbits(gridj, 0.5), jnp.asarray(1.0),
+                            jnp.asarray(1),
+                            occupancy_to_skip_grid(gridj > 0.5, G))
+    H = W = 32
+    ys, xs = np.meshgrid(np.linspace(-0.9, 0.9, H),
+                         np.linspace(-0.9, 0.9, W), indexing="ij")
+    ro = jnp.asarray(np.stack(
+        [xs.ravel(), ys.ravel(), np.full(H * W, -2.5)], -1), jnp.float32)
+    rd = jnp.asarray(np.broadcast_to(
+        np.asarray([0.0, 0.0, 1.0]), (H * W, 3)), jnp.float32)
+
+    mesh = get_mesh()
+    single = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                                   prepass_factor=4, max_samples=16,
+                                   tile=64, prepass_mode="scout",
+                                   scout_samples=32, fine_order="natural")
+    sharded = render_frame_guided_sharded(net, params, ro, rd, H, W, mesh,
+                                          prepass_factor=4, max_samples=16,
+                                          tile=64, scout_samples=32)
+    for k in ("image", "depth", "aggregated_density", "weights_sum"):
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(single[k]), rtol=1e-5,
+                                   atol=1e-5)
