@@ -105,6 +105,47 @@ def run_tpu_aggregate(args):
                       "rays": n, "value": round(n / dt),
                       "ms": round(dt * 1e3, 1), "field": src}), flush=True)
 
+    # headline guided path (scout prepass, natural order), frame-banded
+    # over the mesh — the multi-chip form of bench.py's fastest mode
+    from nerfsafetyvalidation_tpu.parallel.render import (
+        render_frame_guided_sharded)
+    Hg = int(np.sqrt(n))
+    Hg -= Hg % 8                                   # prepass_factor blocks
+    if Hg >= 64:
+        ng = Hg * Hg
+        if src == "trained bench scene":
+            # a real camera frame of the trained scene (honest hit/sky mix)
+            from nerfsafetyvalidation_tpu.data.synthetic import orbit_pose
+            from nerfsafetyvalidation_tpu.data.rays import (
+                get_rays, nerf_matrix_to_ngp)
+            fov_x = 0.6911
+            fx = 0.5 * Hg / np.tan(0.5 * fov_x)
+            pose = nerf_matrix_to_ngp(orbit_pose(0.77, 0.52, 2.4),
+                                      scale=1.0, offset=(0.0, 0.0, 0.0))
+            r = get_rays(jnp.asarray(pose[None]),
+                         (fx, fx, Hg / 2, Hg / 2), Hg, Hg)
+            rg_o = r["rays_o"].reshape(-1, 3)
+            rg_d = r["rays_d"].reshape(-1, 3)
+        else:
+            rg_o, rg_d = ro[:ng], rd[:ng]
+
+        def run_guided():
+            out = render_frame_guided_sharded(
+                net, p_r, rg_o, rg_d, Hg, Hg, mesh, prepass_factor=8,
+                max_samples=16, tile=8192, scout_samples=64)
+            _fetch1(out["image"])
+
+        run_guided()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run_guided()
+        dtg = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({"metric": "aggregate guided-render rays/s",
+                          "devices": n_dev, "rays": ng,
+                          "value": round(ng / dtg),
+                          "ms": round(dtg * 1e3, 1), "field": src}),
+              flush=True)
+
     eng = BatchedRolloutEngine(
         actions=np.tile(np.asarray([10.2, 0.01, 0, 0], np.float32), (12, 1)),
         dt=0.1, g=10.0, mass=1.0, I=np.eye(3, dtype=np.float32),
