@@ -303,7 +303,10 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         #   "guided"  - render_frame_guided (marched prepass + windowed
         #               dense fine pass) with in-pass UQ moments; the
         #               gather-minimal path for large obs
-        if obs_render not in ("uniform", "fast", "guided"):
+        #   "scout"   - render_frame_guided with the uniform density-scout
+        #               prepass: zero occupancy-grid traffic in the whole
+        #               observation render (the headline single-frame path)
+        if obs_render not in ("uniform", "fast", "guided", "scout"):
             raise ValueError(f"unknown obs_render {obs_render!r}")
         if obs_render in ("fast", "guided") and renderer_state is None:
             raise ValueError(f"obs_render={obs_render!r} needs the marched "
@@ -356,14 +359,16 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                 march_tile=min(32768, tile), return_moments=True)
             res["K"] = self.grid_max_samples
             res["moments"] = out["uq_moments"]
-        elif self.obs_render == "guided":
+        elif self.obs_render in ("guided", "scout"):
             out = R.render_frame_guided(
                 self.net, self.params, self.renderer_state, ro, rd,
                 H=self.obs_res, W=self.obs_res,
                 prepass_factor=self.obs_prepass_factor,
                 max_samples=self.grid_max_samples,
                 tile=min(131072, -(-n // 1024) * 1024), max_steps=512,
-                dt_gamma=self.obs_dt_gamma, return_moments=True)
+                dt_gamma=self.obs_dt_gamma, return_moments=True,
+                prepass_mode=("scout" if self.obs_render == "scout"
+                              else "march"))
             res["K"] = self.grid_max_samples
             res["moments"] = out["uq_moments"]
         elif self.renderer_state is not None:

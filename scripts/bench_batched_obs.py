@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--sims", type=int, default=2)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--obs-render", default="guided",
-                    choices=["uniform", "fast", "guided"])
+                    choices=["uniform", "fast", "guided", "scout"])
     ap.add_argument("--uq", default="gaussian",
                     choices=["gaussian", "laplace"])
     ap.add_argument("--iters", type=int, default=1)

@@ -354,7 +354,7 @@ def test_full_engine_obs_render_frame_paths():
     z = np.random.default_rng(5).normal(size=(2, 2, 12)).astype(np.float32)
 
     outs = {}
-    for mode in ("fast", "guided"):
+    for mode in ("fast", "guided", "scout"):
         eng = FullBatchedRolloutEngine(obs_render=mode,
                                        obs_prepass_factor=4, **kw)
         out = eng.run(z)
@@ -367,6 +367,9 @@ def test_full_engine_obs_render_frame_paths():
     # the obs path feeds only the reward; dynamics/SDF must be identical
     np.testing.assert_allclose(np.asarray(outs["fast"]["positions"]),
                                np.asarray(outs["guided"]["positions"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(outs["fast"]["positions"]),
+                               np.asarray(outs["scout"]["positions"]),
                                rtol=1e-6, atol=1e-7)
 
     # renderer_state is required for the frame paths
