@@ -52,6 +52,14 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--scale", type=float, default=0.33)
     parser.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
     parser.add_argument("--dt_gamma", type=float, default=1 / 128)
+    parser.add_argument("--render_mode", type=str, default="staged",
+                        choices=["staged", "fast", "guided", "scout"],
+                        help="test/video frame renderer: 'staged' is the "
+                             "reference-semantics chunked path; 'fast' is "
+                             "the marched sorted-shading frame path; "
+                             "'guided'/'scout' use the depth-guided "
+                             "windowed fine pass (marched or gather-free "
+                             "scout prepass)")
     parser.add_argument("--min_near", type=float, default=0.2)
     parser.add_argument("--density_thresh", type=float, default=10)
     parser.add_argument("--bg_radius", type=float, default=-1)

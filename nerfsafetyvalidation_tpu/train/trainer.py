@@ -437,14 +437,41 @@ class Trainer:
             name = f"{self.name}_ep{self.epoch:04d}"
         os.makedirs(save_path, exist_ok=True)
         self.log(f"==> Start Test, save results to {save_path}")
+        mode = getattr(self.opt, "render_mode", "staged")
+        if mode != "staged" and self.renderer_state is None:
+            self.log(f"[WARN] render_mode={mode} needs the occupancy grid "
+                     "(grid-ray training); falling back to staged")
+            mode = "staged"
         all_preds, all_depths = [], []
         for i, data in enumerate(loader):
             H, W = data["H"], data["W"]
-            out = R.render(self.net, self.eval_params(), data["rays_o"],
-                           data["rays_d"], staged=True,
-                           max_ray_batch=getattr(self.opt, "max_ray_batch", 4096),
-                           num_steps=getattr(self.opt, "num_steps", 128),
-                           upsample_steps=getattr(self.opt, "upsample_steps", 128))
+            if mode == "fast":
+                out = R.render_frame_fast(
+                    self.net, self.eval_params(), self.renderer_state,
+                    data["rays_o"].reshape(-1, 3),
+                    data["rays_d"].reshape(-1, 3),
+                    tile=min(131072, -(-(H * W) // 1024) * 1024),
+                    max_samples=16,
+                    max_steps=getattr(self.opt, "max_steps", 1024),
+                    dt_gamma=getattr(self.opt, "dt_gamma", 0.0),
+                    samples_per_hit=2)
+            elif mode in ("guided", "scout"):
+                out = R.render_frame_guided(
+                    self.net, self.eval_params(), self.renderer_state,
+                    data["rays_o"].reshape(-1, 3),
+                    data["rays_d"].reshape(-1, 3), H, W,
+                    prepass_factor=8, max_samples=16,
+                    max_steps=getattr(self.opt, "max_steps", 1024),
+                    dt_gamma=getattr(self.opt, "dt_gamma", 0.0),
+                    prepass_mode=("scout" if mode == "scout" else "march"))
+            else:
+                out = R.render(self.net, self.eval_params(), data["rays_o"],
+                               data["rays_d"], staged=True,
+                               max_ray_batch=getattr(self.opt, "max_ray_batch",
+                                                     4096),
+                               num_steps=getattr(self.opt, "num_steps", 128),
+                               upsample_steps=getattr(self.opt,
+                                                      "upsample_steps", 128))
             pred = np.asarray(out["image"]).reshape(H, W, 3)
             if getattr(self.opt, "color_space", "srgb") == "linear":
                 pred = np.asarray(linear_to_srgb(pred))

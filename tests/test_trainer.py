@@ -352,3 +352,42 @@ def test_orbax_checkpoint_backend(tmp_path):
     assert st["epoch"] == 3 and st["format_version"] == 2
     np.testing.assert_array_equal(np.asarray(st["model"]["w"]),
                                   np.arange(6.0).reshape(2, 3))
+
+
+def test_render_mode_frame_paths(tmp_path):
+    """trainer.test honors --render_mode: the marched 'fast' path and the
+    gather-free 'scout' guided path render full test frames (PNG fallback)
+    without the staged chunk loop."""
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+    from nerfsafetyvalidation_tpu.data.rays import get_rays
+
+    class FrameLoader:
+        has_gt = False
+
+        def __init__(self):
+            pose = np.eye(4, dtype=np.float32)
+            pose[2, 3] = -2.0
+            rays = get_rays(jnp.asarray(pose[None]), (50.0, 50.0, 8.0, 8.0),
+                            16, 16)
+            self._batches = [{"rays_o": rays["rays_o"],
+                              "rays_d": rays["rays_d"], "H": 16, "W": 16}]
+
+        def __iter__(self):
+            return iter(self._batches)
+
+        def __len__(self):
+            return 1
+
+    cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                        grid_ray=True, grid_size=16)
+    for mode in ("fast", "scout"):
+        net = NeRFNetwork(cfg)
+        trainer = Trainer("t", make_opt(grid_max_samples=8, max_steps=64,
+                                        update_extra_interval=2,
+                                        render_mode=mode),
+                          net, workspace=str(tmp_path / f"wsrm_{mode}"),
+                          use_checkpoint="scratch", mute=True)
+        trainer.test(FrameLoader(), write_video=False)
+        outs = list((tmp_path / f"wsrm_{mode}" / "results").glob("*.png"))
+        assert len(outs) == 2, f"{mode}: expected rgb+depth PNGs, got {outs}"
