@@ -95,6 +95,13 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--batched_rollouts", action="store_true",
                         help="run the vmapped TPU rollout engine instead of "
                              "the sequential loop")
+    parser.add_argument("--batched_obs_render", type=str, default="uniform",
+                        choices=["uniform", "fast", "guided", "scout"],
+                        help="in-scan observation renderer: 'uniform' "
+                             "fixed-step samples; 'fast'/'guided' marched "
+                             "frame paths (need --fast_render's occupancy "
+                             "state); 'scout' gather-free density-scout "
+                             "windows — the large-obs scaling paths")
     parser.add_argument("--closed_loop", action="store_true",
                         help="with --batched_rollouts: run the estimator "
                              "(N_iter Adam pose fit + EKF covariance) and "

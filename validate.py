@@ -113,6 +113,13 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
                             float(res["risk"][i]),
                             int(res["first_collision_step"][i])])
         return res
+    obs_render = getattr(opt, "batched_obs_render", "uniform")
+    rstate = getattr(simulator, "renderer_state", None)
+    if obs_render in ("fast", "guided") and rstate is None:
+        print(f"[WARN] --batched_obs_render {obs_render} needs the "
+              "--fast_render occupancy state; falling back to 'scout' "
+              "(gather-free windows, no grid needed)")
+        obs_render = "scout"
     eng = FullBatchedRolloutEngine(
         actions=actions, dt=simulator.agent_cfg["dt"],
         g=simulator.agent_cfg["g"], mass=simulator.agent_cfg["mass"],
@@ -124,7 +131,8 @@ def validate_batched(simulator, stresstest, noise_mean, noise_std,
         start_state=np.asarray(simulator.true_start_state),
         net=simulator.net, params=simulator.params, obs_res=obs_res,
         render_steps=int(getattr(opt, "num_steps", 64)),
-        base_res=simulator.res_x, uq_method=uq_method)
+        base_res=simulator.res_x, uq_method=uq_method,
+        obs_render=obs_render, renderer_state=rstate)
     key = jax.random.PRNGKey(opt.seed)
     os.makedirs("results", exist_ok=True)
     if stresstest == "Cross Entropy Method":
@@ -360,6 +368,8 @@ def main():
                                         max_steps=opt.max_steps,
                                         dt_gamma=opt.dt_gamma, bg_color=1.0)
     else:
+        state = None
+
         def render_fn(rays_o, rays_d):
             return R.render(net, params, rays_o, rays_d, staged=True,
                             bg_color=1.0, perturb=False,
@@ -412,6 +422,8 @@ def main():
         raise SystemExit(1)
 
     simulator = build_simulator(start_state, end_state)
+    # the batched engine's marched obs paths reuse --fast_render's grid
+    simulator.renderer_state = state
     # closed-loop batched mode regenerates measurement rays per pixel and
     # needs the raw camera intrinsics (fx, fy, cx, cy)
     simulator.dataset_intrinsics = tuple(
