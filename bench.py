@@ -309,9 +309,12 @@ def main():
     # clears the PSNR gate on the 4-pose mean
     def mode_baked():
         # gather-free end to end: student scout prepass fused into the
-        # fine jit (prepass_mode="scout") + raster-order tiles
+        # fine jit (prepass_mode="scout") + raster-order tiles + the
+        # whole sigma+color chain as ONE pallas kernel (fused=True ->
+        # ops/pallas/render_mlp.py fused_sigma_color_deep)
         student, sparams = _get_student(net, fparams, state,
                                         jax.random.PRNGKey(7))
+        student = make_network(_replace(student.cfg, fused=True))
         return lambda ro, rd: R.render_frame_guided(
             student, sparams, state, ro, rd, H, W, prepass_factor=8,
             max_samples=MAX_SAMPLES, tile=8192, max_steps=512,

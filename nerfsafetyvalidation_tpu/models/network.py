@@ -237,8 +237,11 @@ class NeRFNetwork:
         """x: [..., 3] in [-bound, bound] -> {'sigma': [...], 'geo_feat': [..., G]}
         (network.py:126-143)."""
         h = self.encode_pos(params, x)
+        # the per-net fused kernel requires FFMLP-style %16 input lanes
+        # (ffmlp.py:112-121); frequency encodes (e.g. 75 lanes) use the
+        # XLA chain here and the deep megakernel in apply()
         h = _mlp(params["sigma_net"], h, self.compute_dtype,
-                 fused=self.cfg.fused)
+                 fused=self.cfg.fused and self.grid_spec is not None)
         sigma = trunc_exp(h[..., 0].astype(jnp.float32))
         geo_feat = h[..., 1:]
         return {"sigma": sigma, "geo_feat": geo_feat}
@@ -250,14 +253,31 @@ class NeRFNetwork:
         d_enc = self.encode_dir(d)
         h = jnp.concatenate([d_enc, geo_feat.astype(d_enc.dtype)], axis=-1)
         h = _mlp(params["color_net"], h, self.compute_dtype,
-                 fused=self.cfg.fused)
+                 fused=self.cfg.fused and self.grid_spec is not None)
         rgb = jax.nn.sigmoid(h.astype(jnp.float32))
         if mask is not None:
             rgb = jnp.where(mask[..., None], rgb, 0.0)
         return rgb
 
     def apply(self, params, x, d):
-        """Full forward (network.py:95-124): returns (sigma [N], color [N, 3])."""
+        """Full forward (network.py:95-124): returns (sigma [N], color [N, 3]).
+
+        With cfg.fused on a frequency-encoded net (the distilled student,
+        models/bake.py) the whole sigma+color chain runs as ONE pallas
+        kernel (ops/pallas/render_mlp.py fused_sigma_color_deep) — for a
+        256-wide 6-layer student the unfused chain's inter-layer HBM
+        activation traffic is ~30x the fused kernel's I/O."""
+        cfg = self.cfg
+        if cfg.fused and cfg.encoding == "frequency":
+            from ..ops.pallas.render_mlp import fused_sigma_color_deep
+            prefix = x.shape[:-1]
+            enc = self.encode_pos(params, x).reshape(
+                (int(np.prod(prefix)) if prefix else 1, -1))
+            sh = self.encode_dir(d).reshape(enc.shape[0], -1)
+            sigma, rgb = fused_sigma_color_deep(
+                enc, sh, params["sigma_net"], params["color_net"],
+                compute_dtype=self.compute_dtype)
+            return sigma.reshape(prefix), rgb.reshape(prefix + (3,))
         out = self.density(params, x)
         rgb = self.color(params, x, d, geo_feat=out["geo_feat"])
         return out["sigma"], rgb

@@ -158,3 +158,144 @@ def fused_sigma_color(enc, sh, sigma_net, color_net,
         interpret = jax.default_backend() != "tpu"
     return _fused(enc, sh, tuple(sigma_net), tuple(color_net),
                   sh.shape[1], str(jnp.dtype(compute_dtype)), interpret)
+
+
+# --------------------------------------------------------------------------
+# arbitrary-depth variant — the distilled-student megakernel
+# --------------------------------------------------------------------------
+# The 256-wide x 6-layer student (models/bake.py) moves ~2 bytes x N x 256
+# per layer BOUNDARY through HBM when each GEMM is its own XLA op — at the
+# baked frame's ~10M samples that is ~60 GB/frame of activation traffic,
+# on the order of the MXU time itself. One pallas_call per row tile keeps
+# the whole chain's activations in VMEM: HBM sees only enc, sh and the
+# [N, 8] output (~2 GB/frame).
+
+def _make_deep_kernel(n_sig, n_col):
+    def kernel(enc_ref, sh_ref, *refs):
+        out_ref = refs[-1]
+        mats = refs[:-1]
+        f32 = jnp.float32
+        dt = enc_ref.dtype
+        h = enc_ref[:]
+        for i in range(n_sig):
+            h = jnp.dot(h, mats[i][:], preferred_element_type=f32)
+            if i != n_sig - 1:
+                h = jax.nn.relu(h).astype(dt)
+        sigma = jnp.exp(jnp.clip(h[:, :1], -15.0, 15.0))        # trunc_exp
+        c1s, c1g = mats[n_sig], mats[n_sig + 1]
+        g = jax.nn.relu(
+            jnp.dot(sh_ref[:], c1s[:], preferred_element_type=f32)
+            + jnp.dot(h.astype(dt), c1g[:],
+                      preferred_element_type=f32)).astype(dt)
+        rest = mats[n_sig + 2:]
+        for i in range(len(rest)):
+            g = jnp.dot(g, rest[i][:], preferred_element_type=f32)
+            if i != len(rest) - 1:
+                g = jax.nn.relu(g).astype(dt)
+        rgb = jax.nn.sigmoid(g[:, :3])
+        out_ref[:] = jnp.concatenate(
+            [sigma, rgb, jnp.zeros_like(g[:, :4])], axis=1)
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_sig", "n_col", "interpret"))
+def _forward_deep(enc, sh, mats, n_sig, n_col, interpret=False):
+    B = enc.shape[0]
+    grid = (B // ROW_BLOCK,)
+    in_specs = [
+        pl.BlockSpec((ROW_BLOCK, enc.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, sh.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for m in mats]
+    return pl.pallas_call(
+        _make_deep_kernel(n_sig, n_col), grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROW_BLOCK, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+        interpret=interpret,
+    )(enc, sh, *mats)
+
+
+def _xla_ref_deep(enc, sh, sigma_net, color_net, dtype):
+    """Identical math through XLA (backward path + fallback)."""
+    h = enc.astype(dtype)
+    for i, w in enumerate(sigma_net):
+        h = jnp.dot(h, w.astype(dtype), preferred_element_type=jnp.float32)
+        if i != len(sigma_net) - 1:
+            h = jax.nn.relu(h).astype(dtype)
+    sigma = jnp.exp(jnp.clip(h[..., 0], -15.0, 15.0))
+    g = jnp.concatenate([sh.astype(dtype), h[..., 1:].astype(dtype)],
+                        axis=-1)
+    for i, w in enumerate(color_net):
+        g = jnp.dot(g, w.astype(dtype), preferred_element_type=jnp.float32)
+        if i != len(color_net) - 1:
+            g = jax.nn.relu(g).astype(dtype)
+    return sigma, jax.nn.sigmoid(g[..., :3])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_deep(enc, sh, sigma_net, color_net, sh_dim, dtype_str, interpret):
+    dtype = jnp.dtype(dtype_str)
+    N = enc.shape[0]
+    Np = (N + ROW_BLOCK - 1) // ROW_BLOCK * ROW_BLOCK
+    encp = jnp.zeros((Np, enc.shape[1]), dtype=dtype).at[:N].set(
+        enc.astype(dtype))
+    shp = jnp.zeros((Np, sh.shape[1]), dtype=dtype).at[:N].set(
+        sh.astype(dtype))
+    sn = tuple(sigma_net)
+    cn = tuple(color_net)
+    c1, rest = cn[0], cn[1:]
+    c1s = c1[:sh_dim]
+    geo_w = sn[-1].shape[1]                     # 1 + geo_feat lanes
+    c1g = jnp.zeros((geo_w, c1.shape[1]), dtype=c1.dtype)
+    c1g = c1g.at[1:1 + c1.shape[0] - sh_dim].set(c1[sh_dim:])
+    c_last = rest[-1]
+    c_lastp = jnp.zeros((c_last.shape[0], 8),
+                        dtype=c_last.dtype).at[:, :c_last.shape[1]].set(
+        c_last)
+    mats = tuple(m.astype(dtype) for m in
+                 sn + (c1s, c1g) + rest[:-1] + (c_lastp,))
+    out = _forward_deep(encp, shp, mats, len(sn), len(cn),
+                        interpret=interpret)
+    return out[:N, 0], out[:N, 1:4]
+
+
+def _fused_deep_fwd(enc, sh, sigma_net, color_net, sh_dim, dtype_str,
+                    interpret):
+    return (_fused_deep(enc, sh, sigma_net, color_net, sh_dim, dtype_str,
+                        interpret),
+            (enc, sh, tuple(sigma_net), tuple(color_net)))
+
+
+def _fused_deep_bwd(sh_dim, dtype_str, interpret, res, g):
+    enc, sh, sigma_net, color_net = res
+
+    def ref(enc, sh, sigma_net, color_net):
+        return _xla_ref_deep(enc, sh, sigma_net, color_net,
+                             jnp.dtype(dtype_str))
+
+    _, vjp = jax.vjp(ref, enc, sh, sigma_net, color_net)
+    d_enc, d_sh, d_sn, d_cn = vjp(g)
+    return d_enc, d_sh, d_sn, d_cn
+
+
+_fused_deep.defvjp(_fused_deep_fwd, _fused_deep_bwd)
+
+
+def fused_sigma_color_deep(enc, sh, sigma_net, color_net,
+                           compute_dtype=jnp.bfloat16, interpret=None):
+    """Arbitrary-depth fused sigma+color chain. enc: [N, D_enc];
+    sh: [N, D_sh]; sigma_net: >=2 bias-free mats (last outputs
+    [sigma | geo]); color_net: >=2 mats with C1 rows ordered [sh | geo].
+    Returns (sigma [N] f32, rgb [N, 3] f32). Differentiable (bwd through
+    the identical-math XLA chain)."""
+    if not _HAS_PALLAS:
+        return _xla_ref_deep(enc, sh, tuple(sigma_net), tuple(color_net),
+                             jnp.dtype(compute_dtype))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_deep(enc, sh, tuple(sigma_net), tuple(color_net),
+                       sh.shape[1], str(jnp.dtype(compute_dtype)),
+                       interpret)

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--prepass-mode", default="march",
                     choices=["march", "scout"])
     ap.add_argument("--scout-samples", type=int, default=64)
+    ap.add_argument("--fused-student", action="store_true",
+                    help="run the student chain as one pallas megakernel")
     args = ap.parse_args()
     modes = args.modes.split(",")
 
@@ -178,6 +180,8 @@ def main():
                   flush=True)
             with open(cache_f, "wb") as f:
                 pickle.dump(jax.device_get(sparams), f)
+        if args.fused_student:
+            student = make_network(_replace(student.cfg, fused=True))
         run_mode("baked", lambda: R.render_frame_guided(
             student, sparams, state, rays_o, rays_d, H, W, **gkw)["image"])
         # teacher-scout variant: windows placed by the teacher's march,

@@ -162,3 +162,73 @@ class TestFusedSigmaColor:
                                    rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
                                    rtol=2e-4, atol=1e-5)
+
+
+class TestFusedSigmaColorDeep:
+    """Arbitrary-depth megakernel (the distilled-student chain:
+    75-lane freq encode -> 6x256 sigma net -> SH+geo color net)."""
+
+    def _nets(self):
+        rng = np.random.default_rng(1)
+
+        def mat(i, o):
+            return jnp.asarray(rng.normal(0, 0.15, (i, o)), jnp.float32)
+
+        sigma_net = [mat(75, 256)] + [mat(256, 256)] * 4 + [mat(256, 16)]
+        color_net = [mat(31, 64), mat(64, 64), mat(64, 3)]
+        enc = jnp.asarray(rng.normal(0, 0.5, (300, 75)), jnp.float32)
+        sh = jnp.asarray(rng.normal(0, 0.5, (300, 16)), jnp.float32)
+        return enc, sh, sigma_net, color_net
+
+    def test_matches_xla_reference(self):
+        from nerfsafetyvalidation_tpu.ops.pallas.render_mlp import (
+            fused_sigma_color_deep, _xla_ref_deep)
+        enc, sh, sn, cn = self._nets()
+        s, rgb = fused_sigma_color_deep(enc, sh, sn, cn,
+                                        compute_dtype=jnp.float32)
+        s_ref, rgb_ref = _xla_ref_deep(enc, sh, tuple(sn), tuple(cn),
+                                       jnp.float32)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_network_level_fused_matches_unfused(self):
+        """NeRFNetwork(frequency, fused=True).apply routes the whole chain
+        through the deep kernel and matches the unfused apply."""
+        import jax
+        from dataclasses import replace
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+        cfg = NetworkConfig(encoding="frequency", multires=6, num_layers=3,
+                            hidden_dim=64, hidden_dim_color=32, bound=1.0,
+                            compute_dtype="float32")
+        net = NeRFNetwork(cfg)
+        params = net.init(jax.random.PRNGKey(3))
+        netf = NeRFNetwork(replace(cfg, fused=True))
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(-1, 1, (257, 3)), jnp.float32)
+        d0 = rng.normal(size=(257, 3))
+        d = jnp.asarray(d0 / np.linalg.norm(d0, axis=-1, keepdims=True),
+                        jnp.float32)
+        s0, c0 = net.apply(params, x, d)
+        s1, c1 = netf.apply(params, x, d)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gradients_flow(self):
+        import jax
+        from nerfsafetyvalidation_tpu.ops.pallas.render_mlp import (
+            fused_sigma_color_deep)
+        enc, sh, sn, cn = self._nets()
+
+        def loss(sn, cn, enc):
+            s, rgb = fused_sigma_color_deep(enc, sh, sn, cn,
+                                            compute_dtype=jnp.float32)
+            return jnp.sum(s) + jnp.sum(rgb)
+
+        g_sn, g_cn, g_enc = jax.grad(loss, argnums=(0, 1, 2))(sn, cn, enc)
+        for g in list(g_sn) + list(g_cn) + [g_enc]:
+            assert np.isfinite(np.asarray(g)).all()
