@@ -15,6 +15,7 @@ standard matmul VJPs (the reference computes weight grads with CUTLASS
 split-k GEMMs; XLA emits the equivalent batched GEMMs here).
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -27,6 +28,20 @@ try:
     _HAS_PALLAS = True
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
+
+def _auto_interpret():
+    """Run the kernel for real on TPU-class backends; interpret elsewhere.
+
+    The tunneled chip registers as platform "axon", not "tpu" — comparing
+    against "tpu" alone silently put every kernel in interpret mode on the
+    REAL chip (interpret lowers the kernel body to plain XLA ops, which is
+    why round-2 pallas timings sat exactly at XLA parity).
+    NSV_PALLAS_INTERPRET=0/1 overrides."""
+    env = os.environ.get("NSV_PALLAS_INTERPRET")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() not in ("tpu", "axon")
+
 
 ROW_BLOCK = 1024
 
@@ -84,7 +99,7 @@ def fused_mlp(x, weights, compute_dtype=jnp.bfloat16, interpret=None):
     if not _HAS_PALLAS:
         return _xla_mlp(x, weights)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _auto_interpret()
     return _fused_mlp_vjp(x, tuple(weights),
                           str(jnp.dtype(compute_dtype)), interpret)
 

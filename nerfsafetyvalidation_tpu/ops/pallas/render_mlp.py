@@ -19,6 +19,7 @@ XLA path (the reference computes weight grads via CUTLASS split-k GEMMs;
 XLA's fused GEMMs play that role). Non-TPU backends run in interpret mode.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -31,6 +32,20 @@ try:
     _HAS_PALLAS = True
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
+
+def _auto_interpret():
+    """Run the kernel for real on TPU-class backends; interpret elsewhere.
+
+    The tunneled chip registers as platform "axon", not "tpu" — comparing
+    against "tpu" alone silently put every kernel in interpret mode on the
+    REAL chip (interpret lowers the kernel body to plain XLA ops, which is
+    why round-2 pallas timings sat exactly at XLA parity).
+    NSV_PALLAS_INTERPRET=0/1 overrides."""
+    env = os.environ.get("NSV_PALLAS_INTERPRET")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() not in ("tpu", "axon")
+
 
 ROW_BLOCK = 2048
 
@@ -155,7 +170,7 @@ def fused_sigma_color(enc, sh, sigma_net, color_net,
         return _xla_ref(enc, sh, tuple(sigma_net), tuple(color_net),
                         jnp.dtype(compute_dtype))
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _auto_interpret()
     return _fused(enc, sh, tuple(sigma_net), tuple(color_net),
                   sh.shape[1], str(jnp.dtype(compute_dtype)), interpret)
 
@@ -295,7 +310,7 @@ def fused_sigma_color_deep(enc, sh, sigma_net, color_net,
         return _xla_ref_deep(enc, sh, tuple(sigma_net), tuple(color_net),
                              jnp.dtype(compute_dtype))
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _auto_interpret()
     return _fused_deep(enc, sh, tuple(sigma_net), tuple(color_net),
                        sh.shape[1], str(jnp.dtype(compute_dtype)),
                        interpret)
