@@ -52,6 +52,11 @@ class NetworkConfig:
     compute_dtype: str = "float32"
     # fused pallas inference kernel (network_ff analog); falls back if unavailable
     fused: bool = False
+    # mipfold TRAINING corner-fetch strategy (ops/mip_encoding.
+    # _dense_corner_fetch): 'corner8' | 'pair' | 'quad' | 'cube' | 'foldrow'
+    # — numerically identical; selects how many gather rows the HBM gather
+    # engine is issued per sample (bench_gather.py section H decides)
+    train_gather: str = "corner8"
 
     @property
     def cascade(self) -> int:

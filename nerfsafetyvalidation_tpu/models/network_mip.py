@@ -93,7 +93,8 @@ class NeRFNetworkMip(NeRFNetwork):
         return mip_fold_encode(
             enc, x, self.mip_spec, bound=self.cfg.bound,
             fold_table=enc.get("fold_table"),
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            train_gather=getattr(self.cfg, "train_gather", "corner8"))
 
     def apply(self, params, x, d):
         """Full forward; with cfg.fused the two MLPs + activations run as

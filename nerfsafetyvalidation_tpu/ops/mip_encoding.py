@@ -161,12 +161,68 @@ def _blend_weights(frac):
                     axis=-1)
 
 
+def _dense_corner_fetch(dense_table, ci, F, Cd, mode):
+    """Fetch the 8 trilinear corner feature rows for cells ci [N, 3] from
+    the grid-point table [(F+1)^3, Cd] -> [N, 8, Cd] in _corner_bits order
+    (x fastest). All modes are numerically identical; they differ in how
+    many gather rows the HBM gather engine is issued per sample:
+
+      corner8  8 single-row takes (one per corner)
+      pair     4 lax.gather rows of slice (1,1,2): z-adjacent corner pairs
+               are CONTIGUOUS in the table
+      quad     2 rows of slice (1,2,2): the (y,z) face per x corner
+      cube     1 row of slice (2,2,2): the whole trilinear cube
+
+    The winner on the real chip is recorded by scripts/bench_gather.py
+    section H; NetworkConfig.train_gather selects it."""
+    if mode == "corner8":
+        bits = _corner_bits(3).astype(np.int32)
+        corner = ci[:, None, :] + jnp.asarray(bits)[None]  # [N, 8, 3]
+        rows = (corner[..., 0] * (F + 1) + corner[..., 1]) * (F + 1) \
+            + corner[..., 2]
+        return jnp.take(dense_table, rows, axis=0)         # [N, 8, Cd]
+
+    from jax import lax
+    N = ci.shape[0]
+    t4 = dense_table.reshape(F + 1, F + 1, F + 1, Cd)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2))
+
+    def g(starts, sizes):
+        return lax.gather(t4, starts, dnums, tuple(sizes) + (Cd,),
+                          mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    if mode == "pair":
+        # starts: the 4 (x, y) corners at z0; each fetch spans (z0, z0+1)
+        off = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                       np.int32)                            # x fastest
+        starts = (ci[:, None, :] + jnp.asarray(off)[None]).reshape(N * 4, 3)
+        out = g(starts, (1, 1, 2))                          # [4N,1,1,2,Cd]
+        out = out.reshape(N, 4, 2, Cd)                      # [N, xy, z, Cd]
+        # -> bits order idx = x + 2y + 4z: transpose to (z, xy)
+        return out.transpose(0, 2, 1, 3).reshape(N, 8, Cd)
+    if mode == "quad":
+        off = np.array([[0, 0, 0], [1, 0, 0]], np.int32)
+        starts = (ci[:, None, :] + jnp.asarray(off)[None]).reshape(N * 2, 3)
+        out = g(starts, (1, 2, 2))                          # [2N,1,2,2,Cd]
+        out = out.reshape(N, 2, 2, 2, Cd)                   # [N, x, y, z, Cd]
+        return out.transpose(0, 3, 2, 1, 4).reshape(N, 8, Cd)
+    if mode == "cube":
+        out = g(ci, (2, 2, 2))                              # [N,2,2,2,Cd]
+        return out.transpose(0, 3, 2, 1, 4).reshape(N, 8, Cd)
+    raise ValueError(f"unknown dense gather mode {mode!r}")
+
+
 def mip_fold_encode(params, x, spec: MipFoldSpec, bound: float = 1.0,
-                    dense_table=None, fold_table=None, compute_dtype=None):
+                    dense_table=None, fold_table=None, compute_dtype=None,
+                    train_gather: str = "corner8"):
     """Encode positions x [..., 3] in [-bound, bound] -> [..., output_dim].
 
     Training path: pass nothing extra — the dense volume is materialized
-    from the pyramid (8 corner rows + 1 hash row per sample).
+    from the pyramid (8 corner rows + 1 hash row per sample; train_gather
+    picks the corner-fetch strategy, see _dense_corner_fetch; "foldrow"
+    instead folds the volume in-graph and fetches ONE wide row).
     Inference path: pass fold_table (from build_mip_fold_table) — 1 dense
     row + 1 hash row per sample.
     """
@@ -186,6 +242,14 @@ def mip_fold_encode(params, x, spec: MipFoldSpec, bound: float = 1.0,
     frac = pos - cell
     ci = cell.astype(jnp.int32)
     w8 = _blend_weights(frac)
+    if fold_table is None and train_gather == "foldrow":
+        # differentiable in-graph fold: build_mip_fold_table is pure
+        # slicing/stacking of the materialized volume (zero gathers), and
+        # the per-sample fetch becomes ONE wide row instead of 8 corners
+        fold_table = build_mip_fold_table(
+            params, spec,
+            dtype=compute_dtype if compute_dtype is not None
+            else params["pyramid"][0].dtype)
     if fold_table is not None:
         row = (ci[:, 0] * F + ci[:, 1]) * F + ci[:, 2]
         feats = jnp.take(fold_table, row, axis=0)          # [N, 8*Cd]
@@ -194,11 +258,8 @@ def mip_fold_encode(params, x, spec: MipFoldSpec, bound: float = 1.0,
     else:
         if dense_table is None:
             dense_table = materialize_dense(params, spec, dtype=compute_dtype)
-        bits = _corner_bits(3).astype(np.int32)
-        corner = ci[:, None, :] + jnp.asarray(bits)[None]  # [N, 8, 3]
-        rows = (corner[..., 0] * (F + 1) + corner[..., 1]) * (F + 1) \
-            + corner[..., 2]
-        feats = jnp.take(dense_table, rows, axis=0)        # [N, 8, Cd]
+        feats = _dense_corner_fetch(dense_table, ci, F, Cd,
+                                    train_gather)          # [N, 8, Cd]
         dense_out = jnp.sum(w8[..., None].astype(feats.dtype) * feats, axis=1)
 
     # ----- hash-fold part: one row keyed by the finest-level cell

@@ -240,13 +240,124 @@ def bench_pallas_dma(key, R, C, M, nslot):
            M, dt, C * 4)
 
 
+# --------------------------------------------------------------------------
+# H: trilinear corner-fetch strategies (the mip-fold TRAIN path question)
+# --------------------------------------------------------------------------
+# The training dense encode fetches the 8 trilinear corners of each sample
+# from a [(F+1)^3, C] grid-point table (ops/mip_encoding.py corner path).
+# z-adjacent corners are CONTIGUOUS rows, so lax.gather with multi-element
+# slice_sizes can fetch 2 (pair), 4 (quad) or 8 (cube) corners per issued
+# gather row. This section measures fwd and VJP(scatter-add) cost per
+# SAMPLE (= 8 corners) for each strategy, vs the 8x-take baseline and the
+# 1-wide-row differentiable fold table.
+
+def _corner_strategies(F, C, M, key):
+    from jax import lax
+    kt, ki = jax.random.split(key)
+    table = jax.random.normal(kt, ((F + 1) ** 3, C), dtype=jnp.float32)
+    ci = jax.random.randint(ki, (M, 3), 0, F, dtype=jnp.int32)
+
+    def take8(t, ci):
+        bits = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                    indexing="ij"), -1).reshape(8, 3)
+        corner = ci[:, None, :] + jnp.asarray(bits, jnp.int32)[None]
+        rows = (corner[..., 0] * (F + 1) + corner[..., 1]) * (F + 1) \
+            + corner[..., 2]
+        return jnp.take(t, rows.reshape(-1), axis=0).reshape(M, 8, C)
+
+    def slice_gather(slice_shape):
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2))
+        sizes = tuple(slice_shape) + (C,)
+
+        def f(t, starts):
+            t4 = t.reshape(F + 1, F + 1, F + 1, C)
+            return lax.gather(t4, starts, dnums, sizes,
+                              mode=lax.GatherScatterMode.CLIP)
+        return f
+
+    bits2 = np.stack(np.meshgrid([0, 1], [0, 1], indexing="ij"),
+                     -1).reshape(4, 2)
+
+    def pairs(t, ci):      # 4 gathers of (1,1,2,C): the xy corners
+        starts = (ci[:, None, :] + jnp.pad(jnp.asarray(bits2, jnp.int32),
+                                           ((0, 0), (0, 1)))[None]
+                  ).reshape(M * 4, 3)
+        g = slice_gather((1, 1, 2))(t, starts)
+        return g.reshape(M, 8, C)
+
+    def quads(t, ci):      # 2 gathers of (1,2,2,C): the x corners
+        off = jnp.asarray([[0, 0, 0], [1, 0, 0]], jnp.int32)
+        starts = (ci[:, None, :] + off[None]).reshape(M * 2, 3)
+        g = slice_gather((1, 2, 2))(t, starts)
+        return g.reshape(M, 8, C)
+
+    def cube(t, ci):       # 1 gather of (2,2,2,C)
+        g = slice_gather((2, 2, 2))(t, ci)
+        return g.reshape(M, 8, C)
+
+    return table, ci, {"take8": take8, "pairs": pairs, "quads": quads,
+                       "cube": cube}
+
+
+def bench_corner_strategies(key, F, C, M):
+    table, ci, strats = _corner_strategies(F, C, M, key)
+    # fold baseline: one [F^3, 8C] row per sample (render-path layout)
+    kf = jax.random.fold_in(key, 5)
+    fold = jax.random.normal(kf, (F ** 3, 8 * C), dtype=jnp.float32)
+    cif = jax.random.randint(kf, (M,), 0, F ** 3, dtype=jnp.int32)
+
+    def fold_fetch(t, i):
+        return jnp.take(t, i, axis=0).reshape(M, 8, C)
+
+    w = jax.random.normal(jax.random.fold_in(key, 9), (M, 8, C))
+
+    for name, fn in list(strats.items()) + [("fold-row", None)]:
+        if name == "fold-row":
+            t_in, i_in, fn = fold, cif, fold_fetch
+        else:
+            t_in, i_in = table, ci
+        fwd = jax.jit(lambda t, i, fn=fn: jnp.sum(fn(t, i) * w))
+        vjp = jax.jit(jax.grad(lambda t, i, fn=fn: jnp.sum(fn(t, i) * w)))
+        try:
+            dt_f = timeit(fwd, t_in, i_in)
+            record(f"corners8-{name} F={F} C={C} fwd", M, dt_f, 8 * C * 4,
+                   note="per 8-corner sample")
+            dt_b = timeit(vjp, t_in, i_in)
+            record(f"corners8-{name} F={F} C={C} fwd+vjp", M, dt_b, 8 * C * 4,
+                   note="includes the scatter-add bwd")
+        except Exception as e:                              # noqa: BLE001
+            print(json.dumps({"name": f"corners8-{name}",
+                              "error": str(e)[:200]}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list of sections to run, e.g. H")
     args = ap.parse_args()
+    only = args.only.split(",") if args.only else None
 
     key = jax.random.PRNGKey(0)
     M = 2 ** 20 if args.quick else 2 ** 21
+
+    def want(sec):
+        return only is None or sec in only
+
+    if want("H"):
+        print("# H. trilinear corner-fetch strategies (train path)",
+              flush=True)
+        bench_corner_strategies(key, 128, 16, 2 ** 16)
+        if not args.quick:
+            bench_corner_strategies(key, 128, 16, 2 ** 18)
+    if only is not None and set(only) == {"H"}:
+        print("\n# ---- summary (rows/s) ----")
+        for r in RESULTS:
+            print(f"{r['name']:55s} {r['rows_per_s'] / 1e6:9.1f} M rows/s  "
+                  f"{r['ns_per_row']:8.1f} ns/row  {r['GB_per_s']:8.2f} GB/s")
+        return
 
     print("# G. bandwidth sanity: sequential rows (iota idx)", flush=True)
     bench_take(key, 2 ** 19, 256, "iota", M)

@@ -133,3 +133,33 @@ def test_network_mip_density_and_fold():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(r2),
                                rtol=1e-4, atol=1e-5)
+
+@pytest.mark.parametrize("mode", ["pair", "quad", "cube", "foldrow"])
+def test_train_gather_modes_match_corner8(small_spec, mode):
+    """Every corner-fetch strategy (config.train_gather) must reproduce the
+    corner8 baseline's outputs AND parameter gradients — they differ only
+    in how many gather rows are issued per sample."""
+    spec = small_spec
+    params = mip_fold_init(jax.random.PRNGKey(0), spec, std=0.5)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (256, 3)), dtype=jnp.float32)
+    x = jnp.concatenate([x, jnp.asarray([[1.0, 1.0, 1.0],
+                                         [-1.0, -1.0, -1.0],
+                                         [1.2, 0.0, 0.0]])])   # edges + OOB
+
+    ref = mip_fold_encode(params, x, spec, train_gather="corner8")
+    out = mip_fold_encode(params, x, spec, train_gather=mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    w = jnp.asarray(rng.normal(size=ref.shape), dtype=jnp.float32)
+
+    def loss(p, m):
+        return jnp.sum(mip_fold_encode(p, x, spec, train_gather=m) * w)
+
+    g_ref = jax.grad(lambda p: loss(p, "corner8"))(params)
+    g = jax.grad(lambda p: loss(p, mode))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
