@@ -35,6 +35,35 @@ N_TRAIN_VIEWS = 48
 
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".bench_cache")
+# committed trained artifacts (scripts/freeze_bench_assets.py): hosts are
+# wiped between rounds, so the cold-run training/distill cost (~40 min on
+# the tunnel) is paid once and shipped in-repo; the bench seeds its cache
+# from here and goes straight to the render measurement
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_assets")
+
+
+def _seed_cache_from_assets():
+    """Copy committed checkpoints/student into .bench_cache (no overwrite:
+    a freshly trained cache always wins). BENCH_NO_ASSETS=1 forces the
+    full cold train."""
+    import shutil
+    if os.environ.get("BENCH_NO_ASSETS", "0") == "1":
+        return
+    if not os.path.isdir(_ASSETS):
+        return
+    for ws, name in [("ws", "flagship"), ("ws_ref", "refbb")]:
+        src = os.path.join(_ASSETS, f"{name}.ckpt")
+        dst_dir = os.path.join(_CACHE, ws, "checkpoints")
+        if os.path.exists(src) and not (
+                os.path.isdir(dst_dir) and os.listdir(dst_dir)):
+            os.makedirs(dst_dir, exist_ok=True)
+            shutil.copy(src, os.path.join(dst_dir,
+                                          f"{name}_ep9999.ckpt"))
+    src = os.path.join(_ASSETS, "bench_student.pkl")
+    dst = os.path.join(_CACHE, "bench_student.pkl")
+    if os.path.exists(src) and not os.path.exists(dst):
+        shutil.copy(src, dst)
 
 
 def _fetch1(x):
@@ -53,6 +82,7 @@ def _train_flagship():
     from nerfsafetyvalidation_tpu.data.synthetic import generate_dataset
     from nerfsafetyvalidation_tpu.train.trainer import Trainer
 
+    _seed_cache_from_assets()
     scene_dir = os.path.join(_CACHE, "scene")
     if not os.path.exists(os.path.join(scene_dir, "transforms_train.json")):
         generate_dataset(scene_dir, n_train=N_TRAIN_VIEWS, n_val=2, n_test=4,
@@ -182,6 +212,7 @@ def _train_ref_backbone():
     from nerfsafetyvalidation_tpu.train.trainer import Trainer
     from nerfsafetyvalidation_tpu.models import renderer as R
 
+    _seed_cache_from_assets()
     scene_dir = os.path.join(_CACHE, "scene")
     cfg = NetworkConfig(encoding="hashgrid", bound=1.0,
                         compute_dtype="bfloat16", grid_ray=True,
