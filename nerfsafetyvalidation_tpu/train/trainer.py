@@ -303,7 +303,7 @@ class Trainer:
     # ---------------------------------------------------------------- epochs
     def train_one_epoch(self, loader):
         self.log(f"==> Start Training Epoch {self.epoch} ...")
-        total_loss = 0.0
+        total_loss = 0.0 if self.writer is not None else None
         self.local_step = 0
         for data in loader:
             if (self.net.cfg.grid_ray and self.renderer_state is not None and
@@ -337,12 +337,26 @@ class Trainer:
             self.local_step += 1
             self.global_step += 1
             _, loss = self.train_step(data)
-            loss_val = float(loss)
-            total_loss += loss_val
             if self.writer is not None:
-                self.writer.add_scalar("train/loss", loss_val, self.global_step)
+                # per-step scalar logging needs the value now (one host
+                # fetch, ~25 ms floor on the tunneled platform)
+                self.writer.add_scalar("train/loss", float(loss),
+                                       self.global_step)
+                total_loss += float(loss)
+            else:
+                # keep the loss ON DEVICE: a per-step float(loss) forces a
+                # host round-trip that serializes dispatch (the tunnel's
+                # ~25 ms fetch floor becomes a per-step tax); accumulating
+                # lazily lets XLA pipeline the steps back-to-back
+                total_loss = loss if total_loss is None \
+                    else total_loss + loss
 
-        avg = total_loss / max(self.local_step, 1)
+        if total_loss is None:
+            avg = 0.0
+        elif isinstance(total_loss, float):
+            avg = total_loss / max(self.local_step, 1)
+        else:
+            avg = float(total_loss) / max(self.local_step, 1)
         self.stats["loss"].append(avg)
         self.log(f"==> Finished Epoch {self.epoch}. avg loss {avg:.6f}")
         return avg

@@ -17,8 +17,9 @@ run() { # run <name> <timeout_s> <cmd...>
 
 # A0/A2: pallas reality probe + render-mode timings (scout/natural/fused)
 run render_modes 3000 python scripts/bench_render_modes.py \
-  --modes fast,guided,baked --finetune-steps 4000 --prepass-mode scout \
-  --fine-order natural --fused-student
+  --modes fast,guided,baked --distill-steps 8000 --distill-hidden 256 \
+  --distill-layers 6 --multires 12 --finetune-steps 4000 \
+  --prepass-mode scout --fine-order natural --fused-student
 # H: corner-fetch strategy microbench (train-path gather decision)
 run gather_H 1800 python scripts/bench_gather.py --quick --only H
 # D: training throughput (steady-state step + amortized refresh)
