@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--interval", type=int, default=16)
     ap.add_argument("--grid-partial-blocks", type=int, default=4)
     ap.add_argument("--num-rays", type=int, default=4096)
+    ap.add_argument("--gather-modes", default="corner8",
+                    help="comma list of config.train_gather strategies to "
+                         "sweep (corner8,pair,quad,cube,foldrow)")
+    ap.add_argument("--budgets", default="16",
+                    help="comma list of post-carve sample budgets per ray")
     args = ap.parse_args()
 
     import jax
@@ -39,6 +44,7 @@ def main():
         pass
     import bench
     from nerfsafetyvalidation_tpu.models import renderer as R
+    from nerfsafetyvalidation_tpu.models import make_network
     from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
 
     net, params, state = bench._train_flagship()
@@ -79,27 +85,49 @@ def main():
         seed = 0
 
     train_loader = NeRFDataset(Opt, type="train").dataloader()
-    trainer = Trainer("flagship", Opt, net,
-                      workspace=os.path.join(bench._CACHE, "ws"),
-                      use_checkpoint="latest", fp16=True, mute=True,
-                      eval_interval=10 ** 9)
-    trainer.renderer_state = state
-    trainer.global_step = max(trainer.global_step, 10 ** 6)  # post-warmup
-
     data = next(iter(train_loader))
 
-    def fetch():
-        leaf = jax.tree_util.tree_leaves(trainer.params)[0]
-        _ = np.asarray(leaf.ravel()[:1])
+    def time_cfg(mode, budget):
+        """Bare-step ms for one (train_gather, budget) configuration."""
+        from dataclasses import replace as _replace
+        Opt.grid_sample_budget_per_ray = budget
+        Opt.grid_budget_after_warmup = budget
+        net_m = make_network(_replace(net.cfg, train_gather=mode))
+        tr = Trainer("flagship", Opt, net_m,
+                     workspace=os.path.join(bench._CACHE, "ws"),
+                     use_checkpoint="latest", fp16=True, mute=True,
+                     eval_interval=10 ** 9)
+        tr.renderer_state = state
+        tr.global_step = max(tr.global_step, 10 ** 6)  # post-warmup
 
-    # warm the step jit, then time the bare step
-    trainer.train_step(data)
-    fetch()
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        trainer.train_step(data)
-    fetch()
-    dt_step = (time.perf_counter() - t0) / args.steps
+        def fetch():
+            leaf = jax.tree_util.tree_leaves(tr.params)[0]
+            _ = np.asarray(leaf.ravel()[:1])
+
+        tr.train_step(data)
+        fetch()
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            tr.train_step(data)
+        fetch()
+        return tr, (time.perf_counter() - t0) / args.steps
+
+    modes = args.gather_modes.split(",")
+    budgets = [int(b) for b in args.budgets.split(",")]
+    sweep = {}
+    for m in modes:
+        for b in budgets:
+            try:
+                trainer, dt = time_cfg(m, b)
+            except Exception as e:                          # noqa: BLE001
+                print(json.dumps({"mode": m, "budget": b,
+                                  "error": str(e)[:200]}), flush=True)
+                continue
+            sweep[f"{m}/b{b}"] = round(dt * 1e3, 2)
+            print(json.dumps({"mode": m, "budget": b,
+                              "ms_per_step_bare": round(dt * 1e3, 2)}),
+                  flush=True)
+    dt_step = min(sweep.values()) / 1e3 if sweep else float("nan")
 
     # grid refresh timing (full vs partial)
     probe = net.to_folded(trainer.params) \
@@ -129,6 +157,7 @@ def main():
     total_ms = (dt_step + amort_part) * 1e3
     print(json.dumps({
         "ms_per_step_bare": round(dt_step * 1e3, 2),
+        "bare_step_sweep_ms": sweep,
         "grid_update_full_ms": round(t_full * 1e3, 1),
         "grid_update_partial_ms": round(t_part * 1e3, 1),
         "partial_blocks": nb,
