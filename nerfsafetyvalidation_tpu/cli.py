@@ -100,8 +100,9 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
                         help="in-scan observation renderer: 'uniform' "
                              "fixed-step samples; 'fast'/'guided' marched "
                              "frame paths (need --fast_render's occupancy "
-                             "state); 'scout' gather-free density-scout "
-                             "windows — the large-obs scaling paths")
+                             "state); 'scout' occupancy-masked density-"
+                             "scout windows (grid-free fine pass) — the "
+                             "large-obs scaling paths")
     parser.add_argument("--closed_loop", action="store_true",
                         help="with --batched_rollouts: run the estimator "
                              "(N_iter Adam pose fit + EKF covariance) and "

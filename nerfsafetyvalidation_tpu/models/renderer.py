@@ -756,12 +756,23 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
 _FRAME_GUIDED_CACHE = {}
 
 
-def _scout_field(p_net, p_params, pre_o, pre_d, S, cfg, aabb):
-    """Uniform-sampling density scout along [near, far] — the gather-free
+def _scout_field(p_net, p_params, pre_o, pre_d, S, cfg, aabb,
+                 bitfield=None, grid_size: int = 128):
+    """Uniform-sampling density scout along [near, far] — the cheap
     prepass: S samples/ray through the prepass net's density head, one
     transmittance composite. Returns (pre_dabs, pre_ws): the
     opacity-weighted absolute sample t and the opacity, the same contract
-    render_frame_fast's marched prepass provides."""
+    render_frame_fast's marched prepass provides.
+
+    `bitfield` (the occupancy bitfield the marcher walks) masks each
+    sample's density by its cell's occupancy. This is REQUIRED for
+    fidelity on a really-trained field: marched training never samples
+    never-carved space, so the field there is unconstrained junk that the
+    grid normally hides — an unmasked scout reads it and drags the
+    windows (measured: 28.15 -> 18.4 dB at 800^2). The mask costs one
+    1-byte gather per scout sample ((N/f^2)*S = 640k rows at 800^2/f=8,
+    ~10-15 ms at the measured gather floor) — the fine pass stays
+    grid-free."""
     P = pre_o.shape[0]
     nrp, frp = near_far_from_aabb(pre_o, pre_d, aabb, cfg.min_near)
     dtp = (frp - nrp) / S
@@ -776,6 +787,24 @@ def _scout_field(p_net, p_params, pre_o, pre_d, S, cfg, aabb):
                                   (P, S, 3)).reshape(-1, 3)
         sig, _ = p_net.apply(p_params, xyz, dirs_p)
     sig = sig.reshape(P, S)
+    if bitfield is not None:
+        # same cell addressing as the marcher (ops/marching.py body):
+        # cascade level from position + the scout's own step size
+        from ..ops.marching import _mip_from_dt, _mip_from_pos
+        H = grid_size
+        pos = xyz.reshape(P, S, 3)
+        level = jnp.maximum(
+            _mip_from_pos(pos, cfg.cascade),
+            _mip_from_dt(dtp[:, None], H, cfg.cascade))          # [P, S]
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)),
+                                cfg.bound)
+        nxyz = jnp.clip(0.5 * (pos / mip_bound[..., None] + 1.0) * H,
+                        0.0, H - 1).astype(jnp.int32)
+        index = (level * (H ** 3) + morton3d(nxyz.reshape(-1, 3))
+                 .reshape(P, S))
+        byte = jnp.take(bitfield, index >> 3, axis=0)
+        occ = ((byte >> (index & 7).astype(jnp.uint8)) & 1) > 0
+        sig = jnp.where(occ, sig, 0.0)
     alphas = 1.0 - jnp.exp(-dtp[:, None] * cfg.density_scale * sig)
     shifted = jnp.concatenate(
         [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-15], axis=-1)
@@ -888,11 +917,13 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
     prepass_mode: "march" scouts depth with the occupancy-marched fast
     path (its own jit; ~60 ms at f=8 — the DDA's serial bitfield gathers).
     "scout" replaces the march with `scout_samples` UNIFORM samples per
-    prepass ray evaluated through the prepass net's density head, fused
-    into the same jit as the fine pass — zero occupancy-grid traffic, and
-    for a gather-free student the whole frame becomes pure dense compute.
-    The coarse-dt depth bias (span/scout_samples/2 ~ 1.7 cells at S=64)
-    sits well inside the margin_cells=6 window.
+    prepass ray evaluated through the prepass net's density head and
+    MASKED by the occupancy bitfield (1 byte/sample — required on a
+    really-trained field, see _scout_field), fused into the same jit as
+    the fine pass; the fine pass itself stays grid-free, so for a
+    gather-free student it is pure dense compute. The coarse-dt depth
+    bias (span/scout_samples/2 ~ 1.7 cells at S=64) sits well inside the
+    margin_cells=6 window.
 
     rays_o/d: [H*W, 3] row-major. Returns the render_frame_fast dict.
     """
@@ -1017,18 +1048,21 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
             S = scout_samples
 
             @jax.jit
-            def fine(params, p_params, rays_o, rays_d):
+            def fine(params, p_params, rays_o, rays_d, bitfield):
                 pre_o = jnp.take(rays_o, pre_idx_j, axis=0)
                 pre_d = jnp.take(rays_d, pre_idx_j, axis=0)
                 pre_dabs, pre_ws = _scout_field(p_net, p_params, pre_o,
-                                                pre_d, S, cfg, aabb)
+                                                pre_d, S, cfg, aabb,
+                                                bitfield=bitfield,
+                                                grid_size=cfg.grid_size)
                 return _body(params, rays_o, rays_d, pre_dabs, pre_ws)
         else:
             fine = jax.jit(_body)
         _FRAME_GUIDED_CACHE[cache_key] = (net, fine)
     fine = _FRAME_GUIDED_CACHE[cache_key][1]
     if prepass_mode == "scout":
-        img, depth, agg, ws, mom = fine(params, p_params, rays_o, rays_d)
+        img, depth, agg, ws, mom = fine(params, p_params, rays_o, rays_d,
+                                        state.density_bitfield)
     else:
         # marched prepass through the fast path (its own jit)
         pre = render_frame_fast(p_net, p_params, state,

@@ -55,7 +55,8 @@ def render_frame_guided_sharded(net, params, rays_o, rays_d, H, W, mesh,
                                 scout_samples: int = 64,
                                 margin_cells: float = 6.0,
                                 bg_color: float = 1.0,
-                                prepass_net=None, prepass_params=None):
+                                prepass_net=None, prepass_params=None,
+                                bitfield=None):
     """Multi-chip depth-guided frame render (scout prepass, natural tile
     order — the single-chip headline path of models/renderer.py
     render_frame_guided, sharded over the 1-D 'data' mesh).
@@ -101,14 +102,19 @@ def render_frame_guided_sharded(net, params, rays_o, rays_d, H, W, mesh,
     pre_idx = jnp.asarray((yy[:, None] * W + xx[None, :]).reshape(-1))
 
     key = (id(net), id(p_net), id(mesh), H, W, f, K, tile, scout_samples,
-           float(margin), float(bg_color))
+           float(margin), float(bg_color), bitfield is not None)
     hit = _GUIDED_SHARDED_CACHE.get(key)
     if hit is None or hit[0] is not net:
 
-        def one_shard(params, p_params, pre_o, pre_d, ro, rd):
+        def one_shard(params, p_params, bf, pre_o, pre_d, ro, rd):
             i = jax.lax.axis_index("data")
+            # occupancy-masked scout (models/renderer._scout_field): on a
+            # really-trained field the unmasked scout reads uncarved-space
+            # junk density and drags the windows
             pre_dabs, pre_ws = _scout_field(p_net, p_params, pre_o, pre_d,
-                                            scout_samples, cfg, aabb)
+                                            scout_samples, cfg, aabb,
+                                            bitfield=bf,
+                                            grid_size=cfg.grid_size)
             tmin, tmax, anyhit = _window_grids(pre_dabs, pre_ws, h, w)
 
             def up(m):   # [h, w] -> [Np] nearest-neighbor, zero-padded
@@ -142,12 +148,17 @@ def render_frame_guided_sharded(net, params, rays_o, rays_d, H, W, mesh,
 
         smapped = shard_map(
             one_shard, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P("data"), P("data")),
+            in_specs=(P(), P(), P(), P(), P(), P("data"), P("data")),
             out_specs=(P("data"), P("data"), P("data"), P("data")),
             check_rep=False)
         _GUIDED_SHARDED_CACHE[key] = (net, jax.jit(smapped))
 
     runf = _GUIDED_SHARDED_CACHE[key][1]
+    if bitfield is None:
+        # no-mask sentinel: every (clamped) lookup reads 0xFF = occupied,
+        # so the scout is unmasked — for nets whose free-space density is
+        # already consistent (tests' sphere-masked field)
+        bitfield = jnp.full((8,), 255, dtype=jnp.uint8)
     pre_o = jnp.take(rays_o, pre_idx, axis=0)
     pre_d = jnp.take(rays_d, pre_idx, axis=0)
     pad = Np - N
@@ -156,7 +167,7 @@ def render_frame_guided_sharded(net, params, rays_o, rays_d, H, W, mesh,
         rays_d = jnp.concatenate(
             [rays_d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
                                       (pad, 3))], axis=0)
-    img, depth, agg, ws = runf(params, p_params, pre_o, pre_d,
+    img, depth, agg, ws = runf(params, p_params, bitfield, pre_o, pre_d,
                                rays_o, rays_d)
     return {"image": img[:N], "depth": depth[:N],
             "aggregated_density": agg[:N], "weights_sum": ws[:N]}

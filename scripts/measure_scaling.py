@@ -132,7 +132,8 @@ def run_tpu_aggregate(args):
         def run_guided():
             out = render_frame_guided_sharded(
                 net, p_r, rg_o, rg_d, Hg, Hg, mesh, prepass_factor=8,
-                max_samples=16, tile=8192, scout_samples=64)
+                max_samples=16, tile=8192, scout_samples=64,
+                bitfield=state.density_bitfield)
             _fetch1(out["image"])
 
         run_guided()

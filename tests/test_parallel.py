@@ -145,9 +145,12 @@ def test_sharded_guided_render_matches_single_device():
                                    prepass_factor=4, max_samples=16,
                                    tile=64, prepass_mode="scout",
                                    scout_samples=32, fine_order="natural")
+    # same occupancy mask as the single-device scout (the real usage:
+    # measure_scaling passes state.density_bitfield)
     sharded = render_frame_guided_sharded(net, params, ro, rd, H, W, mesh,
                                           prepass_factor=4, max_samples=16,
-                                          tile=64, scout_samples=32)
+                                          tile=64, scout_samples=32,
+                                          bitfield=state.density_bitfield)
     for k in ("image", "depth", "aggregated_density", "weights_sum"):
         np.testing.assert_allclose(np.asarray(sharded[k]),
                                    np.asarray(single[k]), rtol=1e-5,
