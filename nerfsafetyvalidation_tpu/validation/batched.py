@@ -303,12 +303,12 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
         #   "guided"  - render_frame_guided (marched prepass + windowed
         #               dense fine pass) with in-pass UQ moments; the
         #               gather-minimal path for large obs
-        #   "scout"   - render_frame_guided with the uniform density-scout
-        #               prepass: zero occupancy-grid traffic in the whole
-        #               observation render (the headline single-frame path)
+        #   "scout"   - render_frame_guided with the occupancy-masked
+        #               density-scout prepass: grid-free fine pass, 1 bit
+        #               per scout sample (the headline single-frame path)
         if obs_render not in ("uniform", "fast", "guided", "scout"):
             raise ValueError(f"unknown obs_render {obs_render!r}")
-        if obs_render in ("fast", "guided") and renderer_state is None:
+        if obs_render in ("fast", "guided", "scout") and renderer_state is None:
             raise ValueError(f"obs_render={obs_render!r} needs the marched "
                              "renderer_state (occupancy grid)")
         self.obs_render = obs_render
@@ -598,7 +598,8 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
 
         laplace = self.uq_method == "laplace"
 
-        def run_impl(z, q_mean, q_chol, adapt_gain, uq_key):
+        def run_impl(params, renderer_state, z, q_mean, q_chol, adapt_gain,
+                     uq_key):
             """z/q_mean: [m, T, 12]; q_chol: [T, 12, 12] per-step Cholesky
             factors of the proposal covariance (diag(std) for MC / diagonal
             proposals). Population-level scan over steps: dynamics/UQ/
@@ -609,6 +610,23 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             step's draw; CEM samples the proposal verbatim
             (CrossEntropyMethod.py:82, `adapt_gain=0`). uq_key seeds the
             Laplace branch's random theta inits (per sim, per step)."""
+            # params/renderer_state are JIT ARGUMENTS, not closures: a
+            # closed-over hash table is inlined into the serialized HLO as
+            # a literal, and the flagship's 268 MB table overflows the
+            # tunnel's remote-compile request limit (HTTP 413). The swap
+            # makes every self._render_obs/_laplace_uq call inside this
+            # trace see the traced arrays instead.
+            old = self.params, self.renderer_state
+            self.params, self.renderer_state = params, renderer_state
+            try:
+                return self._run_body(z, q_mean, q_chol, adapt_gain, uq_key,
+                                      laplace, G)
+            finally:
+                self.params, self.renderer_state = old
+
+        return jax.jit(run_impl)
+
+    def _run_body(self, z, q_mean, q_chol, adapt_gain, uq_key, laplace, G):
             m = z.shape[0]
             zT = jnp.swapaxes(z, 0, 1)                    # [T, m, 12]
             qmT = jnp.swapaxes(q_mean, 0, 1)
@@ -697,8 +715,6 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
                 "risk": jnp.min(sdf_vals, axis=1),
             }
 
-        return jax.jit(run_impl)
-
     def run(self, z, q_mean=None, q_std=None, q_chol=None,
             adapt_std: bool = True, uq_key=None):
         """z: [n, T, 12] standard normals. Proposal: either diagonal q_std
@@ -727,7 +743,11 @@ class FullBatchedRolloutEngine(BatchedRolloutEngine):
             qm = shard_batch(qm, self.mesh, batch_axis=0)
         if uq_key is None:
             uq_key = jax.random.PRNGKey(0)
-        return self._run(z, qm, q_chol,
+        if getattr(self, "net", None) is None:
+            return self._run(z, qm, q_chol,
+                             jnp.asarray(1.0 if adapt_std else 0.0,
+                                         dtype=jnp.float32), uq_key)
+        return self._run(self.params, self.renderer_state, z, qm, q_chol,
                          jnp.asarray(1.0 if adapt_std else 0.0,
                                      dtype=jnp.float32), uq_key)
 
