@@ -238,6 +238,34 @@ class Trainer:
             return getattr(self.opt, "grid_budget_after_warmup", 16)
         return getattr(self.opt, "grid_sample_budget_per_ray", 16)
 
+    def _refresh_fn(self, n_blocks: int, block: int):
+        """One jitted program for the WHOLE grid refresh: fold-table
+        rebuild + density probe + EMA/max merge + packbits + skip grid.
+        The eager form paid per-op dispatch on the tunneled platform
+        (~500 ms per partial refresh, ~31 ms/step amortized — the
+        dominant share of the 81 ms/step round-2 training iteration);
+        one program also lets XLA fuse the probe into the fold rebuild.
+        Mip-fold nets probe through the folded tables (1+1 rows/point
+        instead of 8+1)."""
+        cache = getattr(self, "_refresh_cache", None)
+        if cache is None:
+            cache = self._refresh_cache = {}
+        fn = cache.get((n_blocks, block))
+        if fn is None:
+            net = self.net
+            gs = net.cfg.grid_size
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def refresh(params, state, key):
+                probe = net.to_folded(params) \
+                    if net.cfg.encoding == "mipfold" else params
+                return R.update_extra_state(net, probe, state, key,
+                                            grid_size=gs,
+                                            n_blocks=n_blocks, block=block)
+
+            fn = cache[(n_blocks, block)] = refresh
+        return fn
+
     def train_step(self, data):
         """One optimization step on a collated ray batch."""
         if self.net.cfg.grid_ray and \
@@ -310,11 +338,6 @@ class Trainer:
                     self.global_step % getattr(self.opt, "update_extra_interval",
                                                16) == 0):
                 self.key, sub = jax.random.split(self.key)
-                # mip-fold nets probe the 128^3 grid through the folded
-                # tables (1+1 rows/point instead of 8+1; the fold rebuild is
-                # dense compute, far cheaper than the extra gather rows)
-                probe = self.net.to_folded(self.params) \
-                    if self.net.cfg.encoding == "mipfold" else self.params
                 # full probes while the grid still carves (warmup); after
                 # that, rotate strided partial probes (the reference's
                 # partial-update path, renderer.py:472-500) at 1/n_blocks
@@ -324,16 +347,12 @@ class Trainer:
                 total = self.net.cfg.grid_size ** 3
                 if (self.global_step <= warmup or n_blocks <= 1
                         or total % n_blocks != 0):
-                    self.renderer_state = R.update_extra_state(
-                        self.net, probe, self.renderer_state, sub,
-                        grid_size=self.net.cfg.grid_size)
+                    n_blocks, block = 1, 0
                 else:
                     block = getattr(self, "_grid_block", 0)
-                    self.renderer_state = R.update_extra_state(
-                        self.net, probe, self.renderer_state, sub,
-                        grid_size=self.net.cfg.grid_size,
-                        n_blocks=n_blocks, block=block)
                     self._grid_block = (block + 1) % n_blocks
+                self.renderer_state = self._refresh_fn(n_blocks, block)(
+                    self.params, self.renderer_state, sub)
             self.local_step += 1
             self.global_step += 1
             _, loss = self.train_step(data)

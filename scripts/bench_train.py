@@ -129,22 +129,19 @@ def main():
                   flush=True)
     dt_step = min(sweep.values()) / 1e3 if sweep else float("nan")
 
-    # grid refresh timing (full vs partial)
-    probe = net.to_folded(trainer.params) \
-        if net.cfg.encoding == "mipfold" else trainer.params
-
+    # grid refresh timing (full vs partial) through the trainer's single
+    # jitted refresh program (fold rebuild + probe + packbits + skip grid)
     def time_update(n_blocks, block):
-        st = R.update_extra_state(net, probe, trainer.renderer_state,
-                                  jax.random.PRNGKey(0),
-                                  grid_size=net.cfg.grid_size,
-                                  n_blocks=n_blocks, block=block)
+        import jax.numpy as jnp
+        fn = trainer._refresh_fn(n_blocks, block)
+        # non-donated copies: the timing loop reuses the same input state
+        st0 = jax.tree_util.tree_map(jnp.array, trainer.renderer_state)
+        st = fn(trainer.params, st0, jax.random.PRNGKey(0))
         _ = np.asarray(st.mean_density)          # warm + fence
         t0 = time.perf_counter()
         for i in range(4):
-            st = R.update_extra_state(net, probe, trainer.renderer_state,
-                                      jax.random.PRNGKey(i),
-                                      grid_size=net.cfg.grid_size,
-                                      n_blocks=n_blocks, block=block)
+            st0 = jax.tree_util.tree_map(jnp.array, trainer.renderer_state)
+            st = fn(trainer.params, st0, jax.random.PRNGKey(i))
             _ = np.asarray(st.mean_density)
         return (time.perf_counter() - t0) / 4
 
