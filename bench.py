@@ -43,10 +43,40 @@ _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_assets")
 
 
+def _upcast_asset(src, dst):
+    """Materialize a committed slim asset (optimizer dropped, float32
+    stored as bfloat16 — scripts/freeze_bench_assets.py) as a regular
+    float32 cache checkpoint. bf16 storage is bit-identical for the
+    render path, which computes in bfloat16 anyway."""
+    import dataclasses
+    import pickle
+    import ml_dtypes
+
+    def up(x):
+        if isinstance(x, dict):
+            return {k: up(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return type(x)(up(v) for v in x)
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            return dataclasses.replace(x, **{
+                f.name: up(getattr(x, f.name))
+                for f in dataclasses.fields(x)})
+        if isinstance(x, np.ndarray) and x.dtype == ml_dtypes.bfloat16:
+            return x.astype(np.float32)
+        return x
+
+    with open(src, "rb") as f:
+        state = pickle.load(f)
+    tmp = dst + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(up(state), f)
+    os.replace(tmp, dst)
+
+
 def _seed_cache_from_assets():
-    """Copy committed checkpoints/student into .bench_cache (no overwrite:
-    a freshly trained cache always wins). BENCH_NO_ASSETS=1 forces the
-    full cold train."""
+    """Materialize committed checkpoints/student into .bench_cache (no
+    overwrite: a freshly trained cache always wins). BENCH_NO_ASSETS=1
+    forces the full cold train."""
     import shutil
     if os.environ.get("BENCH_NO_ASSETS", "0") == "1":
         return
@@ -58,8 +88,8 @@ def _seed_cache_from_assets():
         if os.path.exists(src) and not (
                 os.path.isdir(dst_dir) and os.listdir(dst_dir)):
             os.makedirs(dst_dir, exist_ok=True)
-            shutil.copy(src, os.path.join(dst_dir,
-                                          f"{name}_ep9999.ckpt"))
+            _upcast_asset(src, os.path.join(dst_dir,
+                                            f"{name}_ep9999.ckpt"))
     src = os.path.join(_ASSETS, "bench_student.pkl")
     dst = os.path.join(_CACHE, "bench_student.pkl")
     if os.path.exists(src) and not os.path.exists(dst):
@@ -91,10 +121,17 @@ def _train_flagship():
     # density_thresh=10 is the torch-ngp TRAIN default (main_nerf.py):
     # threshold = min(mean_density, 10) adapts while the field is still
     # foggy, so the occupancy grid carves from the first updates
+    # train_gather="foldrow": the 2026-08-18 sweep (scripts/bench_train.py,
+    # BENCH_NOTES "Training throughput") measured the in-graph fold +
+    # one-wide-row fetch at 50-53 ms/step vs corner8's 60-70 — the fold
+    # rebuild is dense compute, the 8 corner gathers are not. Same
+    # function value (the fold is exact piecewise-trilinear), same bf16
+    # compute dtype either way.
     cfg = NetworkConfig(encoding="mipfold", bound=1.0,
                         compute_dtype="bfloat16", num_levels=8, level_dim=4,
                         base_resolution=16, fold_max_scale=128,
-                        grid_ray=True, density_thresh=10.0)
+                        grid_ray=True, density_thresh=10.0,
+                        train_gather="foldrow")
     net = make_network(cfg)
 
     # provider + trainer knobs (argparse-style attributes)

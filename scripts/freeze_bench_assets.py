@@ -8,15 +8,30 @@ reference-backbone checkpoint and the distilled student out of
 its cache from there (_seed_cache_from_assets) and goes straight to the
 render measurement. BENCH_NO_ASSETS=1 restores the full cold run.
 
+The frozen checkpoints are SLIM: the Adam moments (2/3 of the full-ckpt
+bytes) are dropped — training is finished, the bench only renders — and
+every float32 array is stored as bfloat16. The render path computes in
+bfloat16 anyway (NetworkConfig.compute_dtype), so the bf16-stored weights
+produce bit-identical frames after the seeder upcasts them to float32.
+
 Run after a completed `python bench.py`:
     python scripts/freeze_bench_assets.py
 """
 
+import dataclasses
 import os
+import pickle
 import shutil
 import sys
 
+import numpy as np
+import ml_dtypes
+
+# the pickles hold package classes (RendererState); keep jax off the TPU
+# in case a bench run owns it while we freeze
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 CACHE = os.path.join(ROOT, ".bench_cache")
 ASSETS = os.path.join(ROOT, "bench_assets")
 
@@ -29,6 +44,30 @@ def latest_ckpt(ws):
     return os.path.join(d, cks[-1]) if cks else None
 
 
+def _downcast(x):
+    if isinstance(x, dict):
+        return {k: _downcast(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return type(x)(_downcast(v) for v in x)
+    if dataclasses.is_dataclass(x) and not isinstance(x, type):
+        return dataclasses.replace(x, **{
+            f.name: _downcast(getattr(x, f.name))
+            for f in dataclasses.fields(x)})
+    if isinstance(x, np.ndarray) and x.dtype == np.float32:
+        return x.astype(ml_dtypes.bfloat16)
+    return x
+
+
+def slim(src, dst):
+    with open(src, "rb") as f:
+        state = pickle.load(f)
+    state.pop("optimizer", None)
+    state.pop("ema", None)
+    state = _downcast(state)
+    with open(dst, "wb") as f:
+        pickle.dump(state, f)
+
+
 def main():
     os.makedirs(ASSETS, exist_ok=True)
     frozen = []
@@ -38,7 +77,7 @@ def main():
             print(f"[WARN] no checkpoint under {ws}/checkpoints — skipped")
             continue
         dst = os.path.join(ASSETS, f"{name}.ckpt")
-        shutil.copy(src, dst)
+        slim(src, dst)
         frozen.append((dst, os.path.getsize(dst)))
     src = os.path.join(CACHE, "bench_student.pkl")
     if os.path.exists(src):
