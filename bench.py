@@ -329,11 +329,18 @@ def main():
 
     net, params, state = _train_flagship()
     fparams = net.to_folded(params)
-    # render through the one-kernel fused sigma+color MLP
-    # (ops/pallas/render_mlp.py)
+    # BENCH_FUSED=1 routes the MLP chains through the one-kernel pallas
+    # megakernel (ops/pallas/render_mlp.py). Default is OFF: the 2026-08-18
+    # A/B on the live tunnel (scripts/bench_fused_ab.py,
+    # scripts/bench_student_breakdown.py) measured the real Mosaic kernels
+    # LOSING to XLA — student frame 397 ms fused vs 205 ms XLA, guided
+    # teacher 330 vs 303, fast tied — so XLA's own fusion is the shipped
+    # fast path and the pallas route stays a capability demonstration.
     from dataclasses import replace as _replace
     from nerfsafetyvalidation_tpu.models import make_network
-    net_fused = make_network(_replace(net.cfg, fused=True))
+    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    net_fused = make_network(_replace(net.cfg, fused=True)) if use_fused \
+        else net
 
     H = W = int(os.environ.get("BENCH_RES", "800"))
     fov_x = 0.6911
@@ -377,12 +384,13 @@ def main():
     # clears the PSNR gate on the 4-pose mean
     def mode_baked():
         # gather-free end to end: student scout prepass fused into the
-        # fine jit (prepass_mode="scout") + raster-order tiles + the
-        # whole sigma+color chain as ONE pallas kernel (fused=True ->
-        # ops/pallas/render_mlp.py fused_sigma_color_deep)
+        # fine jit (prepass_mode="scout") + raster-order tiles; the
+        # sigma+color chain is XLA-fused dense matmuls (BENCH_FUSED=1
+        # swaps in the pallas megakernel, measured slower — see above)
         student, sparams = _get_student(net, fparams, state,
                                         jax.random.PRNGKey(7))
-        student = make_network(_replace(student.cfg, fused=True))
+        if use_fused:
+            student = make_network(_replace(student.cfg, fused=True))
         return lambda ro, rd: R.render_frame_guided(
             student, sparams, state, ro, rd, H, W, prepass_factor=8,
             max_samples=MAX_SAMPLES, tile=8192, max_steps=512,

@@ -269,14 +269,16 @@ class NeRFNetwork:
         activation traffic is ~30x the fused kernel's I/O."""
         cfg = self.cfg
         if cfg.fused and cfg.encoding == "frequency":
-            from ..ops.pallas.render_mlp import fused_sigma_color_deep
+            # points-in megakernel: the frequency encoding itself is
+            # computed inside the kernel (ops/pallas/render_mlp.py
+            # fused_points_sigma_color), so HBM sees x/sh/out only
+            from ..ops.pallas.render_mlp import fused_points_sigma_color
             prefix = x.shape[:-1]
-            enc = self.encode_pos(params, x).reshape(
-                (int(np.prod(prefix)) if prefix else 1, -1))
-            sh = self.encode_dir(d).reshape(enc.shape[0], -1)
-            sigma, rgb = fused_sigma_color_deep(
-                enc, sh, params["sigma_net"], params["color_net"],
-                compute_dtype=self.compute_dtype)
+            xf = x.reshape((int(np.prod(prefix)) if prefix else 1, -1))
+            sh = self.encode_dir(d).reshape(xf.shape[0], -1)
+            sigma, rgb = fused_points_sigma_color(
+                xf, sh, params["sigma_net"], params["color_net"],
+                cfg.multires, compute_dtype=self.compute_dtype)
             return sigma.reshape(prefix), rgb.reshape(prefix + (3,))
         out = self.density(params, x)
         rgb = self.color(params, x, d, geo_feat=out["geo_feat"])

@@ -314,3 +314,182 @@ def fused_sigma_color_deep(enc, sh, sigma_net, color_net,
     return _fused_deep(enc, sh, tuple(sigma_net), tuple(color_net),
                        sh.shape[1], str(jnp.dtype(compute_dtype)),
                        interpret)
+
+
+# --------------------------------------------------------------------------
+# points-in megakernel — in-kernel frequency encoding + full chain
+# --------------------------------------------------------------------------
+# fused_sigma_color_deep still materializes the [N, 75] frequency encoding
+# in HBM (XLA computes it, the kernel reads it back: ~0.6 kB/sample of
+# traffic at multires 12) and pays a pad-copy of it per call. This variant
+# takes the raw sample positions instead and builds the encoding INSIDE the
+# kernel with two lane-parallel tricks, so HBM sees only x [N,3], sh
+# [N,16] and the [N,8] output (~90 B/sample):
+#
+#   * broadcast-by-matmul: X_b = x @ S with a constant 0/1 selector
+#     S [3, 128] replicates each coordinate into the lanes of every
+#     encoding column that needs it — one tiny MXU matmul instead of a
+#     lane-gather;
+#   * the whole CUDA-layout encoding [x, sin(2^0 x), cos(2^0 x), ...]
+#     (freqencoder.cu:30-58) is then ONE vectorized expression
+#     sin(X_b*A + B)*M_trig + X_b*M_id with per-lane constants A (the
+#     2^k frequency), B (0 or pi/2: cos as shifted sin) and masks.
+#
+# The sin argument is computed in f32: at 2^11 * x the bf16 mantissa (8
+# bits) would carry ~8 rad of phase error. Lanes [enc_dim, 128) are zero
+# and the first weight matrix is row-padded to 128 to match, so the main
+# chain starts from a native K=128 matmul.
+
+_PTS_ROW_BLOCK = int(os.environ.get("NSV_PALLAS_PTS_ROWS", "4096"))
+
+
+def _freq_consts(multires: int):
+    """Selector + per-lane constants for the in-kernel encoding, CUDA
+    column order: [x0,x1,x2, then per freq k: sin(2^k x)*3, cos(2^k x)*3]."""
+    D = 3 + 6 * multires
+    assert D <= 128, "multires too large for one 128-lane encode block"
+    S = np.zeros((3, 128), np.float32)
+    A = np.zeros((1, 128), np.float32)
+    B = np.zeros((1, 128), np.float32)
+    Mt = np.zeros((1, 128), np.float32)
+    Mi = np.zeros((1, 128), np.float32)
+    for j in range(3):                       # identity columns
+        S[j, j] = 1.0
+        Mi[0, j] = 1.0
+    for k in range(multires):
+        for j in range(6):                   # sin block then cos block
+            col = 3 + 6 * k + j
+            S[j % 3, col] = 1.0
+            A[0, col] = float(2 ** k)
+            B[0, col] = 0.0 if j < 3 else np.pi / 2
+            Mt[0, col] = 1.0
+    return S, A, B, Mt, Mi
+
+
+def _make_points_kernel(n_sig, n_rest):
+    def kernel(x_ref, sh_ref, s_ref, a_ref, b_ref, mt_ref, mi_ref, *refs):
+        out_ref = refs[-1]
+        mats = refs[:-1]
+        f32 = jnp.float32
+        dt = sh_ref.dtype
+        xb = jnp.dot(x_ref[:], s_ref[:], preferred_element_type=f32)
+        enc = (jnp.sin(xb * a_ref[:] + b_ref[:]) * mt_ref[:]
+               + xb * mi_ref[:]).astype(dt)                  # [R, 128]
+        h = enc
+        for i in range(n_sig):
+            h = jnp.dot(h, mats[i][:], preferred_element_type=f32)
+            if i != n_sig - 1:
+                h = jax.nn.relu(h).astype(dt)
+        sigma = jnp.exp(jnp.clip(h[:, :1], -15.0, 15.0))     # trunc_exp
+        c1s, c1g = mats[n_sig], mats[n_sig + 1]
+        g = jax.nn.relu(
+            jnp.dot(sh_ref[:], c1s[:], preferred_element_type=f32)
+            + jnp.dot(h.astype(dt), c1g[:],
+                      preferred_element_type=f32)).astype(dt)
+        rest = mats[n_sig + 2:]
+        for i in range(len(rest)):
+            g = jnp.dot(g, rest[i][:], preferred_element_type=f32)
+            if i != len(rest) - 1:
+                g = jax.nn.relu(g).astype(dt)
+        rgb = jax.nn.sigmoid(g[:, :3])
+        out_ref[:] = jnp.concatenate(
+            [sigma, rgb, jnp.zeros_like(g[:, :4])], axis=1)
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_sig", "n_rest", "interpret"))
+def _forward_points(x, sh, consts, mats, n_sig, n_rest, interpret=False):
+    B = x.shape[0]
+    R = _PTS_ROW_BLOCK
+    grid = (B // R,)
+    in_specs = [
+        pl.BlockSpec((R, x.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, sh.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for c in consts] \
+      + [pl.BlockSpec(m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+         for m in mats]
+    return pl.pallas_call(
+        _make_points_kernel(n_sig, n_rest), grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+        interpret=interpret,
+    )(x, sh, *consts, *mats)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_points(x, sh, sigma_net, color_net, multires, sh_dim, dtype_str,
+                  interpret):
+    dtype = jnp.dtype(dtype_str)
+    N = x.shape[0]
+    R = _PTS_ROW_BLOCK
+    Np = (N + R - 1) // R * R
+    xp = jnp.zeros((Np, x.shape[1]), jnp.float32).at[:N].set(
+        x.astype(jnp.float32))
+    shp = jnp.zeros((Np, sh.shape[1]), dtype=dtype).at[:N].set(
+        sh.astype(dtype))
+    sn = tuple(sigma_net)
+    cn = tuple(color_net)
+    # first sigma mat: rows are the encoding columns — pad to the 128-lane
+    # encode block
+    w1 = sn[0]
+    w1p = jnp.zeros((128, w1.shape[1]), dtype=w1.dtype).at[:w1.shape[0]].set(
+        w1)
+    c1, rest = cn[0], cn[1:]
+    c1s = c1[:sh_dim]
+    geo_w = sn[-1].shape[1]
+    c1g = jnp.zeros((geo_w, c1.shape[1]), dtype=c1.dtype)
+    c1g = c1g.at[1:1 + c1.shape[0] - sh_dim].set(c1[sh_dim:])
+    c_last = rest[-1]
+    c_lastp = jnp.zeros((c_last.shape[0], 8),
+                        dtype=c_last.dtype).at[:, :c_last.shape[1]].set(
+        c_last)
+    mats = tuple(m.astype(dtype) for m in
+                 (w1p,) + sn[1:] + (c1s, c1g) + rest[:-1] + (c_lastp,))
+    consts = tuple(jnp.asarray(c) for c in _freq_consts(multires))
+    out = _forward_points(xp, shp, consts, mats, len(sn), len(rest),
+                          interpret=interpret)
+    return out[:N, 0], out[:N, 1:4]
+
+
+def _fused_points_fwd(x, sh, sigma_net, color_net, multires, sh_dim,
+                      dtype_str, interpret):
+    return (_fused_points(x, sh, sigma_net, color_net, multires, sh_dim,
+                          dtype_str, interpret),
+            (x, sh, tuple(sigma_net), tuple(color_net)))
+
+
+def _fused_points_bwd(multires, sh_dim, dtype_str, interpret, res, g):
+    x, sh, sigma_net, color_net = res
+    from ..freq_encoding import freq_encode
+
+    def ref(x, sh, sigma_net, color_net):
+        return _xla_ref_deep(freq_encode(x, multires), sh, sigma_net,
+                             color_net, jnp.dtype(dtype_str))
+
+    _, vjp = jax.vjp(ref, x, sh, sigma_net, color_net)
+    return vjp(g)
+
+
+_fused_points.defvjp(_fused_points_fwd, _fused_points_bwd)
+
+
+def fused_points_sigma_color(x, sh, sigma_net, color_net, multires,
+                             compute_dtype=jnp.bfloat16, interpret=None):
+    """Points-in fused chain: x [N, 3] raw positions (frequency-encoded
+    INSIDE the kernel), sh [N, D_sh] encoded directions; nets as in
+    fused_sigma_color_deep. Returns (sigma [N] f32, rgb [N, 3] f32).
+    Differentiable (bwd through the identical-math XLA chain)."""
+    if not _HAS_PALLAS:
+        from ..freq_encoding import freq_encode
+        return _xla_ref_deep(freq_encode(x, multires), sh,
+                             tuple(sigma_net), tuple(color_net),
+                             jnp.dtype(compute_dtype))
+    if interpret is None:
+        interpret = _auto_interpret()
+    return _fused_points(x, sh, tuple(sigma_net), tuple(color_net),
+                         multires, sh.shape[1],
+                         str(jnp.dtype(compute_dtype)), interpret)

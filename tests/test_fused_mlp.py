@@ -232,3 +232,62 @@ class TestFusedSigmaColorDeep:
         g_sn, g_cn, g_enc = jax.grad(loss, argnums=(0, 1, 2))(sn, cn, enc)
         for g in list(g_sn) + list(g_cn) + [g_enc]:
             assert np.isfinite(np.asarray(g)).all()
+
+
+class TestFusedPointsKernel:
+    """Points-in megakernel: in-kernel frequency encoding + full chain
+    (ops/pallas/render_mlp.py fused_points_sigma_color)."""
+
+    def _nets(self, multires=12):
+        rng = np.random.default_rng(9)
+
+        def mat(i, o):
+            return jnp.asarray(rng.normal(0, 0.15, (i, o)), jnp.float32)
+
+        d_in = 3 + 6 * multires
+        sigma_net = [mat(d_in, 256)] + [mat(256, 256)] * 4 + [mat(256, 16)]
+        color_net = [mat(31, 64), mat(64, 64), mat(64, 3)]
+        x = jnp.asarray(rng.uniform(-1, 1, (300, 3)), jnp.float32)
+        sh = jnp.asarray(rng.normal(0, 0.5, (300, 16)), jnp.float32)
+        return x, sh, sigma_net, color_net
+
+    def test_matches_xla_reference(self):
+        from nerfsafetyvalidation_tpu.ops.pallas.render_mlp import (
+            fused_points_sigma_color, _xla_ref_deep)
+        from nerfsafetyvalidation_tpu.ops.freq_encoding import freq_encode
+        x, sh, sn, cn = self._nets()
+        s, rgb = fused_points_sigma_color(x, sh, sn, cn, 12,
+                                          compute_dtype=jnp.float32)
+        s_ref, rgb_ref = _xla_ref_deep(freq_encode(x, 12), sh,
+                                       tuple(sn), tuple(cn), jnp.float32)
+        # cos(t) is computed as sin(t + pi/2): the f32 rounding of pi/2
+        # shifts the argument by ~1e-7 rad, which trunc_exp amplifies to
+        # ~1e-4 relative on large sigmas
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   rtol=5e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                                   rtol=5e-4, atol=1e-5)
+
+    def test_gradients_match_unfused(self):
+        import jax
+        from nerfsafetyvalidation_tpu.ops.pallas.render_mlp import (
+            fused_points_sigma_color, _xla_ref_deep)
+        from nerfsafetyvalidation_tpu.ops.freq_encoding import freq_encode
+        x, sh, sn, cn = self._nets()
+
+        def loss_f(sn, cn, x):
+            s, rgb = fused_points_sigma_color(x, sh, sn, cn, 12,
+                                              compute_dtype=jnp.float32)
+            return jnp.sum(jnp.log1p(s)) + jnp.sum(rgb ** 2)
+
+        def loss_r(sn, cn, x):
+            s, rgb = _xla_ref_deep(freq_encode(x, 12), sh, tuple(sn),
+                                   tuple(cn), jnp.float32)
+            return jnp.sum(jnp.log1p(s)) + jnp.sum(rgb ** 2)
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(sn, cn, x)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(sn, cn, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-3)
