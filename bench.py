@@ -176,7 +176,7 @@ def _train_flagship():
     trainer = Trainer("flagship", O, net,
                       workspace=os.path.join(_CACHE, "ws"),
                       use_checkpoint="latest", fp16=True, mute=True,
-                      eval_interval=10 ** 9)
+                      eval_interval=10 ** 9, ckpt_interval=25)
     if trainer.epoch < max_epoch:
         trainer.train(train_loader, valid_loader, max_epoch)
         trainer.save_checkpoint(full=True)
@@ -293,7 +293,7 @@ def _train_ref_backbone():
     trainer = Trainer("refbb", O, net,
                       workspace=os.path.join(_CACHE, "ws_ref"),
                       use_checkpoint="latest", fp16=True, mute=True,
-                      eval_interval=10 ** 9)
+                      eval_interval=10 ** 9, ckpt_interval=25)
     if trainer.epoch < max_epoch:
         trainer.train(train_loader, valid_loader, max_epoch)
         trainer.save_checkpoint(full=True)

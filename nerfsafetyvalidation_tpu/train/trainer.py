@@ -53,7 +53,7 @@ class Trainer:
                  optimizer=None, ema_decay=None, metrics=(), workspace="workspace",
                  use_checkpoint="latest", eval_interval=1, max_keep_ckpt=2,
                  use_tensorboardX=False, mute=False, local_rank=0,
-                 data_parallel=False, fp16=False):
+                 data_parallel=False, fp16=False, ckpt_interval=1):
         self.name = name
         self.opt = opt
         self.net = net
@@ -61,6 +61,10 @@ class Trainer:
         self.metrics = list(metrics) or [PSNRMeter()]
         self.workspace = workspace
         self.eval_interval = eval_interval
+        # a full checkpoint device_gets ~1 GB of params+opt state — over
+        # the tunneled TPU that is tens of seconds per save, so batch jobs
+        # (bench.py) save every N epochs; the final epoch always saves
+        self.ckpt_interval = max(1, int(ckpt_interval))
         self.use_tensorboardX = use_tensorboardX
         self.local_rank = local_rank
         self.time_stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
@@ -395,7 +399,8 @@ class Trainer:
         for epoch in range(self.epoch + 1, max_epochs + 1):
             self.epoch = epoch
             self.train_one_epoch(train_loader)
-            if self.ckpt is not None:
+            if self.ckpt is not None and (
+                    epoch % self.ckpt_interval == 0 or epoch == max_epochs):
                 self.save_checkpoint(full=True, best=False)
             if self.epoch % self.eval_interval == 0:
                 self.evaluate_one_epoch(valid_loader)
