@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--scout-samples", type=int, default=64)
     ap.add_argument("--fused-student", action="store_true",
                     help="run the student chain as one pallas megakernel")
+    ap.add_argument("--fused-teacher", action="store_true",
+                    help="route the teacher MLPs through the pallas "
+                         "kernels (measured slower than XLA on the "
+                         "tunnel, 2026-08-18 — default off)")
     args = ap.parse_args()
     modes = args.modes.split(",")
 
@@ -75,7 +79,8 @@ def main():
 
     net, params, state = bench._train_flagship()
     fparams = net.to_folded(params)
-    net_fused = make_network(_replace(net.cfg, fused=True))
+    net_fused = make_network(_replace(net.cfg, fused=True)) \
+        if args.fused_teacher else net
 
     H = W = args.res
     fov_x = 0.6911

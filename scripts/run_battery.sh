@@ -19,6 +19,11 @@ run() { # run <name> <timeout_s> <cmd...>
 run render_modes 3000 python scripts/bench_render_modes.py \
   --modes fast,guided,baked --distill-steps 8000 --distill-hidden 256 \
   --distill-layers 6 --multires 12 --finetune-steps 4000 \
+  --prepass-mode scout --fine-order natural
+# A2: points-in pallas megakernel A/B on the finetuned student
+run render_modes_fused 1500 python scripts/bench_render_modes.py \
+  --modes baked --distill-steps 8000 --distill-hidden 256 \
+  --distill-layers 6 --multires 12 --finetune-steps 4000 \
   --prepass-mode scout --fine-order natural --fused-student
 # H: corner-fetch strategy microbench (train-path gather decision)
 run gather_H 1800 python scripts/bench_gather.py --quick --only H
