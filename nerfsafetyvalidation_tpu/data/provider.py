@@ -137,6 +137,17 @@ class NeRFDataset:
         self.poses = np.stack(self.poses, axis=0).astype(np.float32)
         if self.images is not None:
             self.images = np.stack(self.images, axis=0)
+            if getattr(opt, "preload", False):
+                # reference provider.py preload moves every image to the
+                # accelerator up front (.half() under fp16). Host-resident
+                # images cost a full-image transfer PER STEP here (the
+                # collate gathers ray pixels on device) — over the
+                # tunneled TPU that is ~2.6 MB/step at 400^2. bf16 halves
+                # the resident footprint; collate casts the gathered rays
+                # back to f32.
+                dtype = jnp.bfloat16 if getattr(opt, "fp16", False) \
+                    else jnp.float32
+                self.images = jnp.asarray(self.images, dtype=dtype)
         self.radius = float(np.linalg.norm(self.poses[:, :3, 3], axis=-1).mean())
 
         if self.training and getattr(opt, "error_map", False):
@@ -187,13 +198,15 @@ class NeRFDataset:
         results = {"H": self.H, "W": self.W, "rays_o": rays["rays_o"],
                    "rays_d": rays["rays_d"]}
         if self.images is not None:
-            images = jnp.asarray(self.images[index])  # [B, H, W, C]
+            # device-resident under preload (one gather, no host transfer);
+            # host numpy otherwise
+            images = jnp.asarray(self.images[np.asarray(index)])
             if self.training:
                 C = images.shape[-1]
                 flat = images.reshape(B, -1, C)
                 images = jnp.take_along_axis(
                     flat, rays["inds"][..., None].astype(jnp.int32), axis=1)
-            results["images"] = images
+            results["images"] = images.astype(jnp.float32)
         if error_map is not None:
             results["index"] = index
             results["inds_coarse"] = rays["inds_coarse"]
