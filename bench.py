@@ -396,6 +396,22 @@ def main():
             max_samples=MAX_SAMPLES, tile=8192, max_steps=512,
             dt_gamma=dt_gamma, prepass_mode="scout")["image"]
 
+    def mode_baked_k(k):
+        # same gather-free student path at a reduced fine-sample count:
+        # the window already concentrates samples around the surface, so
+        # K<16 often holds PSNR while cutting the dense-compute FLOPs
+        # linearly; the gate decides
+        def build():
+            student, sparams = _get_student(net, fparams, state,
+                                            jax.random.PRNGKey(7))
+            if use_fused:
+                student = make_network(_replace(student.cfg, fused=True))
+            return lambda ro, rd: R.render_frame_guided(
+                student, sparams, state, ro, rd, H, W, prepass_factor=8,
+                max_samples=k, tile=8192, max_steps=512,
+                dt_gamma=dt_gamma, prepass_mode="scout")["image"]
+        return build
+
     def mode_guided():
         return lambda ro, rd: R.render_frame_guided(
             net_fused, fparams, state, ro, rd, H, W, prepass_factor=8,
@@ -408,11 +424,19 @@ def main():
             max_samples=MAX_SAMPLES, max_steps=512, samples_per_hit=2,
             dt_gamma=dt_gamma)["image"]
 
-    mode_order = os.environ.get("BENCH_MODES", "baked,guided,fast").split(",")
+    # baked (K=16) measures FASTER than K=8/12 on the tunnel (the smaller
+    # window shapes lane-pad worse and the timing variance favors the
+    # best-compiled program) — order is by measured speed, not FLOPs
+    mode_order = os.environ.get(
+        "BENCH_MODES", "baked,baked12,baked8,guided,fast").split(",")
     builders = {"baked": mode_baked, "guided": mode_guided,
-                "fast": mode_fast}
+                "fast": mode_fast, "baked8": mode_baked_k(8),
+                "baked12": mode_baked_k(12)}
     labels = {
         "baked": "distilled gather-free student, depth-guided windows",
+        "baked8": "distilled gather-free student, depth-guided windows, K=8",
+        "baked12": "distilled gather-free student, depth-guided windows, "
+                   "K=12",
         "guided": "mip-fold NGP, depth-guided windowed fine pass",
         "fast": "mip-fold NGP, occupancy-marched sorted shading",
     }
@@ -467,12 +491,16 @@ def main():
     ro, rd, _ = views[0]
     img = render(ro, rd)
     _fetch1(img)
-    n_iters = 3
-    t0 = time.perf_counter()
+    # tunnel round-trips add 10s-of-ms jitter per dispatch+fetch; the
+    # median of 7 timed frames is stable where a 3-iter mean was not
+    n_iters = int(os.environ.get("BENCH_TIME_ITERS", "7"))
+    ts = []
     for _ in range(n_iters):
+        t0 = time.perf_counter()
         img = render(ro, rd)
         _fetch1(img)
-    dt = (time.perf_counter() - t0) / n_iters
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
     rays_per_sec = n_rays / dt
     all_modes[name]["rays_per_s"] = round(rays_per_sec)
 
