@@ -149,18 +149,45 @@ def main():
     nb = args.grid_partial_blocks
     t_part = time_update(nb, 0) if nb > 1 else t_full
 
+    # the REAL loop: fresh ray batch from the (preloaded, device-resident)
+    # dataloader every step — measures what Trainer.train_one_epoch pays
+    def fetch():
+        leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+        _ = np.asarray(leaf.ravel()[:1])
+
+    it = iter(train_loader)
+
+    def next_batch():
+        nonlocal it
+        try:
+            return next(it)
+        except StopIteration:
+            it = iter(train_loader)
+            return next(it)
+
+    trainer.train_step(next_batch())
+    fetch()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        trainer.train_step(next_batch())
+    fetch()
+    dt_loader = (time.perf_counter() - t0) / args.steps
+
     amort_full = t_full / args.interval
     amort_part = t_part / args.interval
     total_ms = (dt_step + amort_part) * 1e3
+    total_loader_ms = (dt_loader + amort_part) * 1e3
     print(json.dumps({
         "ms_per_step_bare": round(dt_step * 1e3, 2),
         "bare_step_sweep_ms": sweep,
+        "ms_per_step_loader": round(dt_loader * 1e3, 2),
         "grid_update_full_ms": round(t_full * 1e3, 1),
         "grid_update_partial_ms": round(t_part * 1e3, 1),
         "partial_blocks": nb,
         "interval": args.interval,
         "ms_per_step_with_refresh": round(total_ms, 2),
         "steps_per_s": round(1e3 / total_ms, 1),
+        "steps_per_s_loader": round(1e3 / total_loader_ms, 1),
         "num_rays": args.num_rays,
     }), flush=True)
 

@@ -29,8 +29,10 @@ run render_modes_fused 1500 python scripts/bench_render_modes.py \
 run gather_H 1800 python scripts/bench_gather.py --quick --only H
 # D: training throughput (steady-state step + amortized refresh),
 # sweeping the corner-fetch strategies and the post-carve budget
-run train 3000 python scripts/bench_train.py --steps 64 --interval 16 \
-  --gather-modes corner8,pair,quad,cube,foldrow --budgets 16,12
+# the 5-strategy sweep ran 2026-08-18 (BENCH_NOTES "Training throughput"
+# — foldrow won); keep the battery bounded: winner + the corner8 baseline
+run train 2400 python scripts/bench_train.py --steps 64 --interval 16 \
+  --gather-modes foldrow,corner8 --budgets 16
 # B: batched rollout sweeps at reference obs sizes
 run batched_obs 3500 python scripts/bench_batched_obs.py \
   --res 100,200,400,800 --sims 2 --steps 12 --obs-render guided
