@@ -177,9 +177,68 @@ class NeRFDataset:
         self.intrinsics = np.array([fl_x, fl_y, cx, cy])
 
     # ------------------------------------------------------------------
+    def _fast_collate_fn(self, B):
+        """One jitted program for the common training collate (no error
+        map, preloaded device images): pose gather + ray synthesis + pixel
+        gather. The eager path issues ~20 small dispatches per step, which
+        over the tunneled TPU costs ~10 ms/step of pure dispatch latency
+        (measured: 61.3 vs 51.1 ms/step, scripts/bench_train.py); one
+        compiled program collapses that to a single dispatch. Identical
+        key usage and math to the eager path (same inds, same rays)."""
+        fn = getattr(self, "_fast_collate_cache", {}).get(B)
+        if fn is not None:
+            return fn
+        H, W, N = self.H, self.W, self.num_rays
+        fx, fy, cx, cy = [float(v) for v in self.intrinsics]
+
+        @jax.jit
+        def fast(poses_all, images_flat, idx, key):
+            poses = jnp.take(poses_all, idx, axis=0)          # [B, 4, 4]
+            k_pose, k_rays = jax.random.split(key)
+            del k_pose  # parity with the eager path's key consumption
+            inds = jax.random.randint(k_rays, (N,), 0, H * W)
+            inds = jnp.broadcast_to(inds, (B, N))
+            # meshgrid(indexing="xy") reshaped row-major: n -> (n//W, n%W)
+            i = (inds % W).astype(jnp.float32) + 0.5
+            j = (inds // W).astype(jnp.float32) + 0.5
+            zs = jnp.ones_like(i)
+            xs = (i - cx) / fx * zs
+            ys = (j - cy) / fy * zs
+            dirs = jnp.stack([xs, ys, zs], axis=-1)
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            rays_d = jnp.einsum("bnk,bjk->bnj", dirs, poses[:, :3, :3],
+                                precision=jax.lax.Precision.HIGHEST)
+            rays_o = jnp.broadcast_to(poses[:, None, :3, 3], rays_d.shape)
+            imgs = jnp.take(images_flat, idx, axis=0)         # [B, HW, C]
+            imgs = jnp.take_along_axis(
+                imgs, inds[..., None].astype(jnp.int32), axis=1)
+            return rays_o, rays_d, inds, imgs.astype(jnp.float32)
+
+        if not hasattr(self, "_fast_collate_cache"):
+            self._fast_collate_cache = {}
+        self._fast_collate_cache[B] = fast
+        return fast
+
     def collate(self, index, key):
         """Build a ray batch for image `index` (provider.py:277-323)."""
         B = len(index)
+
+        use_fast = (self.training and self.error_map is None
+                    and self.num_rays > 0 and self.images is not None
+                    and isinstance(self.images, jnp.ndarray)
+                    and not (self.rand_pose == 0
+                             or index[0] >= len(self.poses)))
+        if use_fast:
+            if not hasattr(self, "_poses_dev"):
+                self._poses_dev = jnp.asarray(self.poses)
+                self._images_flat = self.images.reshape(
+                    len(self.poses), -1, self.images.shape[-1])
+            rays_o, rays_d, inds, imgs = self._fast_collate_fn(B)(
+                self._poses_dev, self._images_flat,
+                jnp.asarray(np.asarray(index, dtype=np.int32)), key)
+            return {"H": self.H, "W": self.W, "rays_o": rays_o,
+                    "rays_d": rays_d, "images": imgs}
+
         k_pose, k_rays = jax.random.split(key)
 
         if self.rand_pose == 0 or index[0] >= len(self.poses):

@@ -562,7 +562,6 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
                                       (pad, 3))], axis=0)
     N = rays_o.shape[0]
     K = max_samples
-    aabb = aabb_of(cfg)
 
     # one compiled program per (net, geometry, knobs) — rebuilding the jit
     # closure per call would re-trace every frame
@@ -580,6 +579,11 @@ def render_frame_fast(net, params, state: "RendererState", rays_o, rays_d,
 
     @jax.jit
     def render(params, state, rays_o, rays_d):
+        # built INSIDE the jit: an array created outside would be a tracer
+        # when this function is first called inside an outer trace (e.g.
+        # the batched engine's scan), and the cached closure would leak it
+        # into later traces that hit the same cache key
+        aabb = aabb_of(cfg)
         nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
 
         # march tiles span the WHOLE padded ray set; round down to a
@@ -934,7 +938,6 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
     assert rays_o.shape[0] == N, "guided render needs full-frame rays"
     h = (H + f - 1) // f
     w = (W + f - 1) // f
-    aabb = aabb_of(cfg)
     cell = 2.0 * cfg.bound / cfg.grid_size
     margin = margin_cells * cell
 
@@ -965,6 +968,9 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
     if hit_fn is None or hit_fn[0] is not net:
 
         def _body(params, rays_o, rays_d, pre_dabs, pre_ws):
+            # constants built inside the traced body (a closure-captured
+            # array from an outer trace would leak — see render_frame_fast)
+            aabb = aabb_of(cfg)
             nears, fars = near_far_from_aabb(rays_o, rays_d, aabb,
                                              cfg.min_near)
             # absolute expected surface t (composite_marched depth_abs is
@@ -1044,15 +1050,15 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                     jnp.sum(mom, axis=0))
 
         if prepass_mode == "scout":
-            pre_idx_j = jnp.asarray(pre_idx)
+            pre_idx_np = np.asarray(pre_idx)   # numpy: traced as a constant
             S = scout_samples
 
             @jax.jit
             def fine(params, p_params, rays_o, rays_d, bitfield):
-                pre_o = jnp.take(rays_o, pre_idx_j, axis=0)
-                pre_d = jnp.take(rays_d, pre_idx_j, axis=0)
+                pre_o = jnp.take(rays_o, pre_idx_np, axis=0)
+                pre_d = jnp.take(rays_d, pre_idx_np, axis=0)
                 pre_dabs, pre_ws = _scout_field(p_net, p_params, pre_o,
-                                                pre_d, S, cfg, aabb,
+                                                pre_d, S, cfg, aabb_of(cfg),
                                                 bitfield=bitfield,
                                                 grid_size=cfg.grid_size)
                 return _body(params, rays_o, rays_d, pre_dabs, pre_ws)

@@ -65,6 +65,31 @@ class TestNeRFDataset:
         # second epoch reshuffles but still yields all images
         assert len(list(loader)) == 3
 
+    def test_fast_collate_matches_eager(self, tmp_path):
+        """The jitted preload collate fast path (one program per step)
+        must produce the SAME batch as the eager path — same key usage,
+        same inds, same rays, same gathered pixels."""
+        root = str(tmp_path / "scene_fast")
+        make_blender_dataset(root)
+        key = jax.random.PRNGKey(7)
+        ds_fast = NeRFDataset(make_opt(root, preload=True), type="train")
+        assert isinstance(ds_fast.images, jnp.ndarray)
+        b_fast = ds_fast.collate([1], key)
+
+        ds_eager = NeRFDataset(make_opt(root, preload=False), type="train")
+        assert isinstance(ds_eager.images, np.ndarray)
+        b_eager = ds_eager.collate([1], key)
+
+        np.testing.assert_allclose(np.asarray(b_fast["rays_o"]),
+                                   np.asarray(b_eager["rays_o"]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b_fast["rays_d"]),
+                                   np.asarray(b_eager["rays_d"]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b_fast["images"]),
+                                   np.asarray(b_eager["images"]),
+                                   atol=1e-6)
+
     def test_error_map_initialized(self, tmp_path):
         root = str(tmp_path / "scene3")
         make_blender_dataset(root)

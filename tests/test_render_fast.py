@@ -121,3 +121,34 @@ def test_fast_path_uq_moments(scene):
                                 jnp.sum(sig), jnp.sum(sig ** 2)]))
     np.testing.assert_allclose(np.asarray(out["uq_moments"]), ref,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_cached_frame_render_inside_two_outer_traces(scene):
+    """Regression (round-3 tunnel capture): render_frame_fast's cached jit
+    closure must not capture arrays created during an OUTER trace. First
+    call traced inside scan A created `aabb` as a tracer; a later scan B
+    with the same inner cache key reused the closure and hit
+    UnexpectedTracerError (scripts/bench_batched_obs.py at obs 200^2,
+    where both engines' marched prepasses pad to the same N=1024)."""
+    net, params, state, ro, rd = scene
+    R._FRAME_FAST_CACHE.clear()
+
+    def frame(o, d):
+        return R.render_frame_fast(net, params, state, o, d, tile=64,
+                                   max_samples=8, max_steps=32,
+                                   march_tile=32)["image"]
+
+    def outer_a(o, d):
+        img, _ = jax.lax.scan(lambda c, _: (frame(o, d), None), ro * 0,
+                              None, length=1)
+        return img
+
+    def outer_b(o, d):
+        img, _ = jax.lax.scan(lambda c, _: (frame(o, d) + 1.0, None),
+                              ro * 0, None, length=1)
+        return img
+
+    a = jax.jit(outer_a)(ro, rd)       # traces frame inside outer trace A
+    b = jax.jit(outer_b)(ro, rd)       # cache hit inside a DIFFERENT trace
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 1.0,
+                               rtol=1e-5, atol=1e-5)
