@@ -2,22 +2,35 @@
 workload — an 800x800 view (640k rays, reference envConfig.json:51-52,
 validate.py:72-75) — through a TRAINED flagship mip-fold NGP.
 
-Unlike round 1 (random net + synthetic bitfield) this is the full
-train -> grid -> render loop (VERDICT r1 item 5): the first run trains the
-flagship TPU backbone (models/network_mip.py) on the analytic synthetic
-scene (data/synthetic.py), refreshes the occupancy grid from the trained
-density field, and caches the checkpoint under .bench_cache/; the benchmark
-then renders a HELD-OUT pose through the occupancy-marched + folded-table
-fast path and reports rays/s plus the PSNR of that render against the
-analytic ground truth (the fidelity gate for the fast-path approximations:
-per-ray slot truncation + mip-fold hashing).
+The full train -> grid -> render loop (VERDICT r1 item 5): the first run
+trains the flagship TPU backbone (models/network_mip.py) on the analytic
+synthetic scenes (data/synthetic.py), refreshes the occupancy grid from the
+trained density field, and caches checkpoints under .bench_cache/; the
+benchmark then renders HELD-OUT poses and reports rays/s plus the PSNR of
+those renders against the analytic ground truth.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "psnr_db"}.
+Round-4 gate (VERDICT r3 items 1+5): every candidate render mode is scored
+on TWO scenes — the smooth "spheres" scene and the hard "gauntlet" scene
+(thin pillars + occlusion stack + high-frequency texture) — across 4
+held-out poses each. A mode clears the gate only if its 4-pose mean PSNR
+passes BOTH scenes' thresholds; rays/s is then measured for EVERY
+gate-clearing mode (pipelined batched timing, see _time_render) and the
+headline is the fastest gate-clearing mode. This kills modes that merely
+memorize the smooth scene (the round-3 scout bug class) and makes
+regressions in non-headline modes visible in the driver artifact.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"modes": per-mode per-scene psnr + rays/s}.
 The reference publishes no numbers (BASELINE.md); vs_baseline measures
 against the BASELINE.json north-star target of 50M rays/sec/chip.
 
 Timing note: on the tunneled TPU platform block_until_ready() does not
-synchronize; every iteration device-slices one element and fetches it.
+synchronize; completion is forced by fetching one element. Dispatch+fetch
+round-trips cost 10s of ms of tunnel latency, so frames are timed in
+back-to-back batches (one fetch per batch — TPU executes programs in
+order, so the final fetch bounds the whole batch) and the per-frame time
+is the median over batches. This is what closed the round-3 capture gap
+(driver 2.89M vs tunnel 4.10M on the identical path).
 """
 
 import json
@@ -37,10 +50,28 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".bench_cache")
 # committed trained artifacts (scripts/freeze_bench_assets.py): hosts are
 # wiped between rounds, so the cold-run training/distill cost (~40 min on
-# the tunnel) is paid once and shipped in-repo; the bench seeds its cache
-# from here and goes straight to the render measurement
+# the tunnel PER SCENE) is paid once and shipped in-repo; the bench seeds
+# its cache from here and goes straight to the render measurement
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_assets")
+
+# per-scene bench plumbing: cache/workspace/asset names and the PSNR gate.
+# "spheres" keeps the round-1..3 names so committed assets stay valid.
+# Gate rationale: spheres 28 dB = the round-2 bar (teacher fidelity);
+# gauntlet is intrinsically harder (thin structures at the training res),
+# so its bar is set relative to what the exact marched path achieves on a
+# trained field — BENCH_GATE_GAUNTLET_DB pins the measured value.
+SCENE_SPECS = {
+    "spheres": dict(dir="scene", ws="ws", asset="flagship.ckpt",
+                    student="bench_student.pkl",
+                    gate=("BENCH_GATE_DB", 28.0)),
+    "gauntlet": dict(dir="scene_gauntlet", ws="ws_gauntlet",
+                     asset="flagship_gauntlet.ckpt",
+                     student="bench_student_gauntlet.pkl",
+                     gate=("BENCH_GATE_GAUNTLET_DB", 24.0)),
+}
+BENCH_SCENES = [s for s in os.environ.get(
+    "BENCH_SCENES", "spheres,gauntlet").split(",") if s]
 
 
 def _upcast_asset(src, dst):
@@ -74,7 +105,7 @@ def _upcast_asset(src, dst):
 
 
 def _seed_cache_from_assets():
-    """Materialize committed checkpoints/student into .bench_cache (no
+    """Materialize committed checkpoints/students into .bench_cache (no
     overwrite: a freshly trained cache always wins). BENCH_NO_ASSETS=1
     forces the full cold train."""
     import shutil
@@ -82,18 +113,22 @@ def _seed_cache_from_assets():
         return
     if not os.path.isdir(_ASSETS):
         return
-    for ws, name in [("ws", "flagship"), ("ws_ref", "refbb")]:
-        src = os.path.join(_ASSETS, f"{name}.ckpt")
+    pairs = [("ws_ref", "refbb.ckpt")]
+    pairs += [(spec["ws"], spec["asset"]) for spec in SCENE_SPECS.values()]
+    for ws, asset in pairs:
+        src = os.path.join(_ASSETS, asset)
+        name = os.path.splitext(asset)[0]
         dst_dir = os.path.join(_CACHE, ws, "checkpoints")
         if os.path.exists(src) and not (
                 os.path.isdir(dst_dir) and os.listdir(dst_dir)):
             os.makedirs(dst_dir, exist_ok=True)
             _upcast_asset(src, os.path.join(dst_dir,
                                             f"{name}_ep9999.ckpt"))
-    src = os.path.join(_ASSETS, "bench_student.pkl")
-    dst = os.path.join(_CACHE, "bench_student.pkl")
-    if os.path.exists(src) and not os.path.exists(dst):
-        shutil.copy(src, dst)
+    for spec in SCENE_SPECS.values():
+        src = os.path.join(_ASSETS, spec["student"])
+        dst = os.path.join(_CACHE, spec["student"])
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copy(src, dst)
 
 
 def _fetch1(x):
@@ -102,21 +137,22 @@ def _fetch1(x):
     _ = np.asarray(leaf.ravel()[:1])
 
 
-def _train_flagship():
-    """Train (or reload) the flagship on the synthetic scene; returns
+def _train_flagship(scene="spheres"):
+    """Train (or reload) the flagship on the given analytic scene; returns
     (net, trained params, renderer state)."""
     import jax
-    from nerfsafetyvalidation_tpu.config import NetworkConfig, TrainConfig
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
     from nerfsafetyvalidation_tpu.models import make_network
     from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
     from nerfsafetyvalidation_tpu.data.synthetic import generate_dataset
     from nerfsafetyvalidation_tpu.train.trainer import Trainer
 
+    spec = SCENE_SPECS[scene]
     _seed_cache_from_assets()
-    scene_dir = os.path.join(_CACHE, "scene")
+    scene_dir = os.path.join(_CACHE, spec["dir"])
     if not os.path.exists(os.path.join(scene_dir, "transforms_train.json")):
         generate_dataset(scene_dir, n_train=N_TRAIN_VIEWS, n_val=2, n_test=4,
-                         H=TRAIN_RES, W=TRAIN_RES)
+                         H=TRAIN_RES, W=TRAIN_RES, scene=scene)
 
     # density_thresh=10 is the torch-ngp TRAIN default (main_nerf.py):
     # threshold = min(mean_density, 10) adapts while the field is still
@@ -173,8 +209,9 @@ def _train_flagship():
     valid_loader = NeRFDataset(O, type="val").dataloader()
     max_epoch = int(np.ceil(BENCH_ITERS / len(train_loader)))
 
-    trainer = Trainer("flagship", O, net,
-                      workspace=os.path.join(_CACHE, "ws"),
+    name = os.path.splitext(spec["asset"])[0]
+    trainer = Trainer(name, O, net,
+                      workspace=os.path.join(_CACHE, spec["ws"]),
                       use_checkpoint="latest", fp16=True, mute=True,
                       eval_interval=10 ** 9, ckpt_interval=25)
     if trainer.epoch < max_epoch:
@@ -191,9 +228,9 @@ def _train_flagship():
     return net, trainer.params, state
 
 
-def _get_student(net, fparams, state, key):
+def _get_student(net, fparams, state, key, scene="spheres"):
     """Distill (or reload) the gather-free student for the baked render
-    path (models/bake.py); cached in .bench_cache/bench_student.pkl."""
+    path (models/bake.py); cached in .bench_cache/<student>.pkl."""
     import pickle
     import jax
     from nerfsafetyvalidation_tpu.models import make_network
@@ -205,15 +242,17 @@ def _get_student(net, fparams, state, key):
     import jax.numpy as jnp
 
     scfg = student_config(net.cfg, multires=12, hidden_dim=256, num_layers=6)
-    cache_f = os.path.join(_CACHE, "bench_student.pkl")
+    cache_f = os.path.join(_CACHE, SCENE_SPECS[scene]["student"])
     student = make_network(scfg)
     if os.path.exists(cache_f):
         with open(cache_f, "rb") as f:
             return student, pickle.load(f)
 
     k1, k2 = jax.random.split(key)
-    student, sparams, _ = distill(net, fparams, state, k1, steps=8000,
-                                  cfg=scfg)
+    distill_steps = int(os.environ.get("BENCH_DISTILL_STEPS", "8000"))
+    ft_steps = int(os.environ.get("BENCH_FT_STEPS", "4000"))
+    student, sparams, _ = distill(net, fparams, state, k1,
+                                  steps=distill_steps, cfg=scfg)
     # pixel-space fine-tune on a random-orbit ray pool
     rng = np.random.default_rng(11)
     fov_x = 0.6911
@@ -232,7 +271,8 @@ def _get_student(net, fparams, state, key):
     sparams, _ = finetune_render(
         student, sparams, net, fparams, state,
         jnp.asarray(np.concatenate(pool_o)),
-        jnp.asarray(np.concatenate(pool_d)), k2, steps=4000, K=MAX_SAMPLES)
+        jnp.asarray(np.concatenate(pool_d)), k2, steps=ft_steps,
+        K=MAX_SAMPLES)
     with open(cache_f, "wb") as f:
         import jax as _jax
         pickle.dump(_jax.device_get(sparams), f)
@@ -241,7 +281,9 @@ def _get_student(net, fparams, state, key):
 
 def _train_ref_backbone():
     """Reference-semantics NeRFNetwork (hashgrid corner layout) through the
-    SAME training loop — the second fidelity line the bench reports."""
+    SAME training loop — the second fidelity line the bench reports
+    (spheres scene; this line checks exact reference semantics, not the
+    approximation gate)."""
     import jax
     from nerfsafetyvalidation_tpu.config import NetworkConfig
     from nerfsafetyvalidation_tpu.models import make_network
@@ -306,8 +348,32 @@ def _train_ref_backbone():
 
 
 # four held-out orbit poses (none in any training/val/test split —
-# scene_views draws from different seeds)
+# scene_views draws from different seeds); shared by both scenes
 HOLDOUT = [(0.77, 0.52), (2.31, 0.30), (3.85, 0.65), (5.40, 0.42)]
+
+
+def _time_render(render, views, n_rays, warmup_frames=3, batches=5,
+                 batch=4):
+    """Median per-frame seconds: `batches` batches of `batch` back-to-back
+    dispatches, ONE completion fetch per batch (the TPU executes enqueued
+    programs in order, so fetching the last frame's first element bounds
+    the whole batch). Cycling over the held-out poses keeps the number
+    honest across view-dependent occupancy. The batch structure amortizes
+    the tunnel's per-round-trip latency (10s of ms) that made single-frame
+    timing under-report by ~30% (VERDICT r3 weak #1)."""
+    for i in range(warmup_frames):
+        _fetch1(render(*views[i % len(views)][:2]))
+    ts = []
+    k = 0
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        img = None
+        for i in range(batch):
+            img = render(*views[(k + i) % len(views)][:2])
+        k += batch
+        _fetch1(img)
+        ts.append((time.perf_counter() - t0) / batch)
+    return float(np.median(ts))
 
 
 def main():
@@ -323,12 +389,13 @@ def main():
     import jax.numpy as jnp
     from nerfsafetyvalidation_tpu.models import renderer as R
     from nerfsafetyvalidation_tpu.data.synthetic import (orbit_pose,
-                                                         camera_rays, trace)
+                                                         camera_rays,
+                                                         trace_scene)
     from nerfsafetyvalidation_tpu.data.rays import (get_rays,
                                                     nerf_matrix_to_ngp)
+    from dataclasses import replace as _replace
+    from nerfsafetyvalidation_tpu.models import make_network
 
-    net, params, state = _train_flagship()
-    fparams = net.to_folded(params)
     # BENCH_FUSED=1 routes the MLP chains through the one-kernel pallas
     # megakernel (ops/pallas/render_mlp.py). Default is OFF: the 2026-08-18
     # A/B on the live tunnel (scripts/bench_fused_ab.py,
@@ -336,34 +403,47 @@ def main():
     # LOSING to XLA — student frame 397 ms fused vs 205 ms XLA, guided
     # teacher 330 vs 303, fast tied — so XLA's own fusion is the shipped
     # fast path and the pallas route stays a capability demonstration.
-    from dataclasses import replace as _replace
-    from nerfsafetyvalidation_tpu.models import make_network
     use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
-    net_fused = make_network(_replace(net.cfg, fused=True)) if use_fused \
-        else net
 
     H = W = int(os.environ.get("BENCH_RES", "800"))
     fov_x = 0.6911
     fx = 0.5 * W / np.tan(0.5 * fov_x)
     intr = (fx, fx, W / 2, H / 2)
     dt_gamma = float(os.environ.get("BENCH_DT_GAMMA", str(1.0 / 64)))
-    gate_db = float(os.environ.get("BENCH_GATE_DB", "28.0"))
 
-    # held-out poses: ground truth is ray-traced in the RAW world frame;
-    # the model lives in the provider's NGP frame (provider.py:19-27), so
+    # ---- per-scene assets: trained teacher, folded params, student,
+    # held-out views (ground truth ray-traced in the RAW world frame; the
+    # model lives in the provider's NGP frame, provider.py:19-27, so
     # render rays come from the converted pose — pixel-for-pixel the same
-    # physical camera the training pipeline used
-    views = []
-    for th, ph in HOLDOUT:
-        pose = orbit_pose(th, ph, 2.4)
-        o_np, d_np = camera_rays(pose, intr, H, W)
-        gt_rgb, gt_alpha, _ = trace(o_np, d_np)
-        gt = gt_rgb * gt_alpha[..., None] + (1.0 - gt_alpha[..., None])
-        pose_ngp = nerf_matrix_to_ngp(pose, scale=1.0, offset=(0.0, 0.0, 0.0))
-        rays = get_rays(jnp.asarray(pose_ngp[None]), intr, H, W)
-        views.append((rays["rays_o"].reshape(-1, 3),
-                      rays["rays_d"].reshape(-1, 3), gt))
-    n_rays = views[0][0].shape[0]
+    # physical camera the training pipeline used)
+    scenes = {}
+    for scene in BENCH_SCENES:
+        net, params, state = _train_flagship(scene)
+        fparams = net.to_folded(params)
+        student, sparams = _get_student(net, fparams, state,
+                                        jax.random.PRNGKey(7), scene)
+        net_r = make_network(_replace(net.cfg, fused=True)) if use_fused \
+            else net
+        student_r = make_network(_replace(student.cfg, fused=True)) \
+            if use_fused else student
+        views = []
+        for th, ph in HOLDOUT:
+            pose = orbit_pose(th, ph, 2.4)
+            o_np, d_np = camera_rays(pose, intr, H, W)
+            gt_rgb, gt_alpha, _ = trace_scene(o_np, d_np, scene=scene)
+            gt = gt_rgb * gt_alpha[..., None] + (1.0 - gt_alpha[..., None])
+            pose_ngp = nerf_matrix_to_ngp(pose, scale=1.0,
+                                          offset=(0.0, 0.0, 0.0))
+            rays = get_rays(jnp.asarray(pose_ngp[None]), intr, H, W)
+            views.append((rays["rays_o"].reshape(-1, 3),
+                          rays["rays_d"].reshape(-1, 3), gt))
+        gate_env, gate_default = SCENE_SPECS[scene]["gate"]
+        scenes[scene] = dict(
+            net=net_r, fparams=fparams, state=state, student=student_r,
+            sparams=sparams, views=views,
+            gate_db=float(os.environ.get(gate_env, str(gate_default))))
+
+    n_rays = scenes[BENCH_SCENES[0]]["views"][0][0].shape[0]
     n_tiles = (n_rays + TILE - 1) // TILE
     pad = n_tiles * TILE - n_rays
 
@@ -380,56 +460,35 @@ def main():
         mse = float(np.mean((pred - gt) ** 2))
         return -10.0 * np.log10(max(mse, 1e-10))
 
-    # ---- candidate render modes, fastest first; headline = first that
-    # clears the PSNR gate on the 4-pose mean
-    def mode_baked():
+    # ---- candidate render modes; each builder takes a scene dict and
+    # returns a frame-render closure
+    def mode_baked_k(k):
         # gather-free end to end: student scout prepass fused into the
         # fine jit (prepass_mode="scout") + raster-order tiles; the
         # sigma+color chain is XLA-fused dense matmuls (BENCH_FUSED=1
         # swaps in the pallas megakernel, measured slower — see above)
-        student, sparams = _get_student(net, fparams, state,
-                                        jax.random.PRNGKey(7))
-        if use_fused:
-            student = make_network(_replace(student.cfg, fused=True))
-        return lambda ro, rd: R.render_frame_guided(
-            student, sparams, state, ro, rd, H, W, prepass_factor=8,
-            max_samples=MAX_SAMPLES, tile=8192, max_steps=512,
-            dt_gamma=dt_gamma, prepass_mode="scout")["image"]
-
-    def mode_baked_k(k):
-        # same gather-free student path at a reduced fine-sample count:
-        # the window already concentrates samples around the surface, so
-        # K<16 often holds PSNR while cutting the dense-compute FLOPs
-        # linearly; the gate decides
-        def build():
-            student, sparams = _get_student(net, fparams, state,
-                                            jax.random.PRNGKey(7))
-            if use_fused:
-                student = make_network(_replace(student.cfg, fused=True))
+        def build(sc):
             return lambda ro, rd: R.render_frame_guided(
-                student, sparams, state, ro, rd, H, W, prepass_factor=8,
-                max_samples=k, tile=8192, max_steps=512,
+                sc["student"], sc["sparams"], sc["state"], ro, rd, H, W,
+                prepass_factor=8, max_samples=k, tile=8192, max_steps=512,
                 dt_gamma=dt_gamma, prepass_mode="scout")["image"]
         return build
 
-    def mode_guided():
+    def mode_guided(sc):
         return lambda ro, rd: R.render_frame_guided(
-            net_fused, fparams, state, ro, rd, H, W, prepass_factor=8,
-            max_samples=MAX_SAMPLES, tile=8192, max_steps=512,
-            dt_gamma=dt_gamma)["image"]
+            sc["net"], sc["fparams"], sc["state"], ro, rd, H, W,
+            prepass_factor=8, max_samples=MAX_SAMPLES, tile=8192,
+            max_steps=512, dt_gamma=dt_gamma)["image"]
 
-    def mode_fast():
+    def mode_fast(sc):
         return lambda ro, rd: R.render_frame_fast(
-            net_fused, fparams, state, *padded(ro, rd), tile=TILE,
-            max_samples=MAX_SAMPLES, max_steps=512, samples_per_hit=2,
-            dt_gamma=dt_gamma)["image"]
+            sc["net"], sc["fparams"], sc["state"], *padded(ro, rd),
+            tile=TILE, max_samples=MAX_SAMPLES, max_steps=512,
+            samples_per_hit=2, dt_gamma=dt_gamma)["image"]
 
-    # baked (K=16) measures FASTER than K=8/12 on the tunnel (the smaller
-    # window shapes lane-pad worse and the timing variance favors the
-    # best-compiled program) — order is by measured speed, not FLOPs
     mode_order = os.environ.get(
         "BENCH_MODES", "baked,baked12,baked8,guided,fast").split(",")
-    builders = {"baked": mode_baked, "guided": mode_guided,
+    builders = {"baked": mode_baked_k(MAX_SAMPLES), "guided": mode_guided,
                 "fast": mode_fast, "baked8": mode_baked_k(8),
                 "baked12": mode_baked_k(12)}
     labels = {
@@ -441,102 +500,115 @@ def main():
         "fast": "mip-fold NGP, occupancy-marched sorted shading",
     }
 
+    # ---- PSNR gate: 4 held-out poses PER SCENE; a mode passes only if
+    # its per-scene mean clears that scene's threshold on EVERY scene.
+    # BENCH_FIRST_GATE=1 restores the round-3 wall-clock discipline (stop
+    # at the first gate-clearing mode instead of scoring/timing them all).
+    first_gate_only = os.environ.get("BENCH_FIRST_GATE", "0") == "1"
+    n_time_batches = int(os.environ.get("BENCH_TIME_BATCHES", "5"))
+    n_time_batch = int(os.environ.get("BENCH_TIME_BATCH", "4"))
     all_modes = {}
-    headline = None
-    eval_all = os.environ.get("BENCH_ALL_MODES", "0") == "1"
+    passing = []
     for name in mode_order:
-        try:
-            render = builders[name]()
-            psnrs = [psnr_of(render(v[0], v[1]), v[2]) for v in views]
-        except Exception as e:                              # noqa: BLE001
-            all_modes[name] = {"error": str(e)[:200]}
-            continue
-        mean_p = float(np.mean(psnrs))
-        min_p = float(np.min(psnrs))
-        all_modes[name] = {"psnr_mean": round(mean_p, 2),
-                           "psnr_min": round(min_p, 2)}
-        if headline is None and mean_p >= gate_db:
-            headline = (name, render, mean_p, min_p)
-            if not eval_all:
-                # wall-clock discipline: later modes are slower by
-                # construction; skip compiling them (BENCH_ALL_MODES=1
-                # to evaluate every mode's PSNR)
+        entry = {}
+        ok = True
+        renders = {}
+        for scene in BENCH_SCENES:
+            sc = scenes[scene]
+            try:
+                render = builders[name](sc)
+                psnrs = [psnr_of(render(v[0], v[1]), v[2])
+                         for v in sc["views"]]
+            except Exception as e:                          # noqa: BLE001
+                entry[scene] = {"error": str(e)[:200]}
+                ok = False
                 break
-    if headline is None:
-        ok = [m for m in all_modes if "psnr_mean" in all_modes[m]]
+            renders[scene] = render
+            mean_p, min_p = float(np.mean(psnrs)), float(np.min(psnrs))
+            entry[scene] = {"psnr_mean": round(mean_p, 2),
+                            "psnr_min": round(min_p, 2)}
+            if mean_p < sc["gate_db"]:
+                ok = False
+        entry["pass"] = ok
+        all_modes[name] = entry
         if ok:
-            # nothing cleared the gate: fall back to the best-PSNR mode
-            best = max(ok, key=lambda m: all_modes[m]["psnr_mean"])
-            render = builders[best]()
-            headline = (best, render, all_modes[best]["psnr_mean"],
-                        all_modes[best]["psnr_min"])
-        else:
-            # every candidate errored (e.g. pallas unsupported on this
-            # backend): the unfused marched path has no pallas anywhere
-            def render(ro, rd):
-                return R.render_frame_fast(
-                    net, fparams, state, *padded(ro, rd), tile=TILE,
-                    max_samples=MAX_SAMPLES, max_steps=512,
-                    samples_per_hit=2, dt_gamma=dt_gamma)["image"]
+            # rays/s for EVERY gate-clearing mode (VERDICT r3 weak #1):
+            # per-scene batched timing + the cross-scene aggregate
+            dts = {}
+            for scene in BENCH_SCENES:
+                dt = _time_render(renders[scene], scenes[scene]["views"],
+                                  n_rays, batches=n_time_batches,
+                                  batch=n_time_batch)
+                dts[scene] = dt
+                entry[scene]["rays_per_s"] = round(n_rays / dt)
+            agg = len(dts) * n_rays / sum(dts.values())
+            entry["rays_per_s"] = round(agg)
+            passing.append((name, agg))
+            if first_gate_only:
+                break
 
-            psnrs = [psnr_of(render(v[0], v[1]), v[2]) for v in views]
-            labels["fast_xla"] = "mip-fold NGP, unfused marched fallback"
-            all_modes["fast_xla"] = {
-                "psnr_mean": round(float(np.mean(psnrs)), 2),
-                "psnr_min": round(float(np.min(psnrs)), 2)}
-            headline = ("fast_xla", render, float(np.mean(psnrs)),
-                        float(np.min(psnrs)))
+    if passing:
+        name, rays_per_sec = max(passing, key=lambda x: x[1])
+    else:
+        # nothing cleared both gates: fall back to the best worst-scene
+        # PSNR mode and report it honestly (pass=false stays in the JSON)
+        scored = [m for m in all_modes
+                  if all("psnr_mean" in all_modes[m].get(s, {})
+                         for s in BENCH_SCENES)]
+        if not scored:
+            raise SystemExit(json.dumps(
+                {"metric": "bench failed", "value": 0, "unit": "rays/s",
+                 "vs_baseline": 0.0, "modes": all_modes}))
+        name = max(scored, key=lambda m: min(
+            all_modes[m][s]["psnr_mean"] for s in BENCH_SCENES))
+        dts = {}
+        for scene in BENCH_SCENES:
+            render = builders[name](scenes[scene])
+            dt = _time_render(render, scenes[scene]["views"], n_rays,
+                              batches=n_time_batches, batch=n_time_batch)
+            dts[scene] = dt
+            all_modes[name][scene]["rays_per_s"] = round(n_rays / dt)
+        rays_per_sec = len(dts) * n_rays / sum(dts.values())
+        all_modes[name]["rays_per_s"] = round(rays_per_sec)
 
-    name, render, mean_p, min_p = headline
-    ro, rd, _ = views[0]
-    img = render(ro, rd)
-    _fetch1(img)
-    # tunnel round-trips add 10s-of-ms jitter per dispatch+fetch; the
-    # median of 7 timed frames is stable where a 3-iter mean was not
-    n_iters = int(os.environ.get("BENCH_TIME_ITERS", "7"))
-    ts = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        img = render(ro, rd)
-        _fetch1(img)
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
-    rays_per_sec = n_rays / dt
-    all_modes[name]["rays_per_s"] = round(rays_per_sec)
+    # headline PSNR fields aggregate over all gated poses (both scenes)
+    pose_means = [all_modes[name][s]["psnr_mean"] for s in BENCH_SCENES]
+    pose_mins = [all_modes[name][s]["psnr_min"] for s in BENCH_SCENES]
 
     # ---- second backbone line: reference-semantics hashgrid NeRFNetwork
     ref = None
     if os.environ.get("BENCH_REF", "1") != "0":
         try:
             rnet, rparams, rstate = _train_ref_backbone()
-            rro, rrd = padded(ro, rd)
-            rimg = R.render_frame_fast(
-                rnet, rparams, rstate, rro, rrd, tile=TILE,
-                max_samples=MAX_SAMPLES, max_steps=512, samples_per_hit=2,
-                dt_gamma=dt_gamma)["image"]
-            _fetch1(rimg)
-            t0 = time.perf_counter()
-            rimg = R.render_frame_fast(
-                rnet, rparams, rstate, rro, rrd, tile=TILE,
-                max_samples=MAX_SAMPLES, max_steps=512, samples_per_hit=2,
-                dt_gamma=dt_gamma)["image"]
-            _fetch1(rimg)
-            rdt = time.perf_counter() - t0
-            ref = {"psnr_db": round(psnr_of(rimg, views[0][2]), 2),
+            sph = scenes.get("spheres") or scenes[BENCH_SCENES[0]]
+            ro, rd, gt = sph["views"][0]
+
+            def ref_render(ro, rd):
+                return R.render_frame_fast(
+                    rnet, rparams, rstate, *padded(ro, rd), tile=TILE,
+                    max_samples=MAX_SAMPLES, max_steps=512,
+                    samples_per_hit=2, dt_gamma=dt_gamma)["image"]
+
+            rimg = ref_render(ro, rd)
+            rdt = _time_render(ref_render, sph["views"], n_rays,
+                               warmup_frames=1, batches=3, batch=2)
+            ref = {"psnr_db": round(psnr_of(rimg, gt), 2),
                    "rays_per_s": round(n_rays / rdt)}
         except Exception as e:                              # noqa: BLE001
             ref = {"error": str(e)[:200]}
 
     out = {
-        "metric": f"rays/sec/chip (800^2 held-out render, trained scene, "
-                  f"{labels[name]}, bf16)",
+        "metric": f"rays/sec/chip (800^2 held-out render, trained scenes "
+                  f"[{'+'.join(BENCH_SCENES)}], {labels[name]}, bf16)",
         "value": round(rays_per_sec),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC, 4),
-        "psnr_db": round(mean_p, 2),
-        "psnr_mean": round(mean_p, 2),
-        "psnr_min": round(min_p, 2),
+        "psnr_db": round(float(np.mean(pose_means)), 2),
+        "psnr_mean": round(float(np.mean(pose_means)), 2),
+        "psnr_min": round(float(np.min(pose_mins)), 2),
         "mode": name,
+        "gate_pass": bool(all_modes[name].get("pass", False)),
+        "scenes": BENCH_SCENES,
         "modes": all_modes,
     }
     if ref is not None:

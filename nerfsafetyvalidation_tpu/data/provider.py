@@ -188,7 +188,11 @@ class NeRFDataset:
         fn = getattr(self, "_fast_collate_cache", {}).get(B)
         if fn is not None:
             return fn
-        H, W, N = self.H, self.W, self.num_rays
+        # same clamp as the eager path (rays.py: N = min(N, H*W)): without
+        # it num_rays > H*W would return a larger batch with duplicated
+        # pixels than the documented 'identical math' parity allows
+        H, W = self.H, self.W
+        N = min(self.num_rays, H * W)
         fx, fy, cx, cy = [float(v) for v in self.intrinsics]
 
         @jax.jit
@@ -229,10 +233,15 @@ class NeRFDataset:
                     and not (self.rand_pose == 0
                              or index[0] >= len(self.poses)))
         if use_fast:
-            if not hasattr(self, "_poses_dev"):
+            # cache device copies, invalidated if self.poses/self.images are
+            # ever rebound (identity check — the arrays themselves are
+            # treated as immutable once loaded)
+            src_ids = (id(self.poses), id(self.images))
+            if getattr(self, "_dev_cache_ids", None) != src_ids:
                 self._poses_dev = jnp.asarray(self.poses)
                 self._images_flat = self.images.reshape(
                     len(self.poses), -1, self.images.shape[-1])
+                self._dev_cache_ids = src_ids
             rays_o, rays_d, inds, imgs = self._fast_collate_fn(B)(
                 self._poses_dev, self._images_flat,
                 jnp.asarray(np.asarray(index, dtype=np.int32)), key)

@@ -965,7 +965,10 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                  float(margin), return_moments, fine_order, prepass_mode,
                  scout_samples)
     hit_fn = _FRAME_GUIDED_CACHE.get(cache_key)
-    if hit_fn is None or hit_fn[0] is not net:
+    # staleness guard checks BOTH closed-over nets (the cache key encodes
+    # id(net)/id(p_net); the identity check keeps a recycled id from
+    # silently serving a stale closure)
+    if hit_fn is None or hit_fn[0] is not net or hit_fn[1] is not p_net:
 
         def _body(params, rays_o, rays_d, pre_dabs, pre_ws):
             # constants built inside the traced body (a closure-captured
@@ -1064,8 +1067,8 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                 return _body(params, rays_o, rays_d, pre_dabs, pre_ws)
         else:
             fine = jax.jit(_body)
-        _FRAME_GUIDED_CACHE[cache_key] = (net, fine)
-    fine = _FRAME_GUIDED_CACHE[cache_key][1]
+        _FRAME_GUIDED_CACHE[cache_key] = (net, p_net, fine)
+    fine = _FRAME_GUIDED_CACHE[cache_key][2]
     if prepass_mode == "scout":
         img, depth, agg, ws, mom = fine(params, p_params, rays_o, rays_d,
                                         state.density_bitfield)

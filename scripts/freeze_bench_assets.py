@@ -71,7 +71,9 @@ def slim(src, dst):
 def main():
     os.makedirs(ASSETS, exist_ok=True)
     frozen = []
-    for ws, name in [("ws", "flagship"), ("ws_ref", "refbb")]:
+    # per-scene flagships (bench.SCENE_SPECS names) + the ref backbone
+    for ws, name in [("ws", "flagship"), ("ws_gauntlet", "flagship_gauntlet"),
+                     ("ws_ref", "refbb")]:
         src = latest_ckpt(ws)
         if src is None:
             print(f"[WARN] no checkpoint under {ws}/checkpoints — skipped")
@@ -79,13 +81,14 @@ def main():
         dst = os.path.join(ASSETS, f"{name}.ckpt")
         slim(src, dst)
         frozen.append((dst, os.path.getsize(dst)))
-    src = os.path.join(CACHE, "bench_student.pkl")
-    if os.path.exists(src):
-        dst = os.path.join(ASSETS, "bench_student.pkl")
-        shutil.copy(src, dst)
-        frozen.append((dst, os.path.getsize(dst)))
-    else:
-        print("[WARN] no bench_student.pkl — skipped")
+    for student in ["bench_student.pkl", "bench_student_gauntlet.pkl"]:
+        src = os.path.join(CACHE, student)
+        if os.path.exists(src):
+            dst = os.path.join(ASSETS, student)
+            shutil.copy(src, dst)
+            frozen.append((dst, os.path.getsize(dst)))
+        else:
+            print(f"[WARN] no {student} — skipped")
     if not frozen:
         sys.exit("nothing to freeze — run `python bench.py` first")
     for path, size in frozen:

@@ -194,3 +194,79 @@ class TestFFMLPDepad:
         assert len(params["color_net"]) == 4
         np.testing.assert_array_equal(np.asarray(params["sigma_net"][2]),
                                       sig[2])
+
+
+class TestSyntheticScenes:
+    """Analytic scene generators (data/synthetic.py) — both the spheres
+    bench scene and the round-4 hard 'gauntlet' gate scene."""
+
+    def _views(self, scene):
+        from nerfsafetyvalidation_tpu.data.synthetic import (
+            orbit_pose, camera_rays, trace_scene)
+        H = W = 48
+        fov = 0.6911
+        fx = 0.5 * W / np.tan(0.5 * fov)
+        intr = (fx, fx, W / 2, H / 2)
+        pose = orbit_pose(0.77, 0.52, 2.4)
+        o, d = camera_rays(pose, intr, H, W)
+        return trace_scene(o, d, scene=scene)
+
+    @pytest.mark.parametrize("scene", ["spheres", "gauntlet"])
+    def test_trace_contract(self, scene):
+        rgb, alpha, depth = self._views(scene)
+        assert rgb.shape == (48, 48, 3)
+        assert alpha.shape == (48, 48)
+        assert np.all((alpha == 0) | (alpha == 1))
+        assert np.all(rgb >= 0) and np.all(rgb <= 1)
+        # miss rays carry no color/depth
+        assert np.all(rgb[alpha == 0] == 0)
+        assert np.all(depth[alpha == 0] == 0)
+        assert np.all(depth[alpha == 1] > 0)
+        # both scenes have geometry and sky from this pose
+        assert 0.2 < alpha.mean() < 0.95
+
+    def test_trace_deterministic(self):
+        a = self._views("gauntlet")
+        b = self._views("gauntlet")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_gauntlet_differs_from_spheres(self):
+        rgb_s, _, _ = self._views("spheres")
+        rgb_g, _, _ = self._views("gauntlet")
+        assert np.mean(np.abs(rgb_s - rgb_g)) > 0.05
+
+    def test_gauntlet_has_thin_structures(self):
+        """Pillar columns must survive at render res: some rays hit
+        geometry whose depth differs from both ground and slabs by
+        appearing in isolated thin runs."""
+        from nerfsafetyvalidation_tpu.data.synthetic import (
+            orbit_pose, camera_rays, trace_gauntlet, PILLARS)
+        H = W = 200
+        fov = 0.6911
+        fx = 0.5 * W / np.tan(0.5 * fov)
+        intr = (fx, fx, W / 2, H / 2)
+        pose = orbit_pose(0.77, 0.52, 2.4)
+        o, d = camera_rays(pose, intr, H, W)
+        rgb, alpha, _ = trace_gauntlet(o, d)
+        # at least one pillar's shaded albedo hue is visible
+        seen = 0
+        for _, _, _, _, albedo in PILLARS:
+            a = np.asarray(albedo)
+            # lambert shading scales albedo by [0.35, 1.0]; hue ratio is
+            # preserved, so match on normalized chroma
+            px = rgb.reshape(-1, 3)
+            px_n = px / np.clip(px.sum(-1, keepdims=True), 1e-6, None)
+            a_n = a / a.sum()
+            if np.any(np.abs(px_n - a_n).sum(-1) < 0.05):
+                seen += 1
+        assert seen >= 3
+
+    def test_generate_dataset_gauntlet_loads(self, tmp_path):
+        from nerfsafetyvalidation_tpu.data.synthetic import generate_dataset
+        root = str(tmp_path / "gauntlet")
+        generate_dataset(root, n_train=2, n_val=1, n_test=1, H=24, W=24,
+                         scene="gauntlet")
+        ds = NeRFDataset(make_opt(root, scale=1.0), type="train")
+        assert len(ds) == 2
+        assert ds.images.shape == (2, 24, 24, 4)
