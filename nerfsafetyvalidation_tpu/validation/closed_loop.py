@@ -68,7 +68,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                  end_state, knots0, initial_accel0, epochs_update=2,
                  planner_lr=1e-3, density_fn, robot_body,
                  fade_out_epoch=0, fade_out_sharpness=10.0,
-                 quantize_target=True, mesh=None):
+                 quantize_target=True, obs_render="pixels", mesh=None):
         """start_state: [12] true start (rotvec form); end_state: [18]
         planner goal; knots0: [S, 4] initial plan knots (from a host-side
         `Planner.a_star_init` + `learn_init`, exactly as NerfSimulator.reset
@@ -79,7 +79,15 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         density_fn: [..., 3] -> [...] planner collision density;
         quantize_target: floor(img*255)/255 on the measurement target,
         matching the sequential loop's uint8 camera round-trip
-        (NerfSimulator.py:115 -> estimator_helpers.py:85)."""
+        (NerfSimulator.py:115 -> estimator_helpers.py:85);
+        obs_render: "pixels" (default) renders ONLY the fixed interest
+        pixels as the measurement target — the TPU-native zero-waste form;
+        "frame" renders the FULL obs_hw observation in-scan (the
+        reference camera produces a whole image every step,
+        NerfSimulator.py:113-115) and gathers the interest pixels from it
+        — the like-for-like configuration for obs-size scaling tables
+        (the per-iteration estimator candidates render the pixel batch in
+        both modes, exactly as the sequential estimator does)."""
         self.fixed_coords = jnp.asarray(np.asarray(fixed_coords), jnp.int32)
         self.intrinsics = tuple(float(v) for v in intrinsics)
         self.obs_hw = (int(obs_hw[0]), int(obs_hw[1]))
@@ -100,21 +108,55 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         self.fade_out_epoch = float(fade_out_epoch)
         self.fade_out_sharpness = float(fade_out_sharpness)
         self.quantize_target = bool(quantize_target)
+        if obs_render not in ("pixels", "frame"):
+            raise ValueError(f"unknown obs_render {obs_render!r}")
+        self.obs_render = obs_render
         actions = jnp.zeros((int(steps), 4), jnp.float32)  # computed in-scan
         super().__init__(actions, dt, g, mass, I, sdf, sdf_start, granularity,
                          noise_mean, noise_std, start_state, mesh=mesh)
 
     # ------------------------------------------------------------- rendering
-    def _obs_rays(self, state12):
-        """Measurement-target rays at the true state, along the estimator's
+    def _obs_pose(self, state12):
+        """Observation camera pose at the true state, along the estimator's
         render_from_pose chain (estimator_helpers.py:227-243): the agent
         reports the body-frame pose (agent_helpers.py:75) and
         render_from_pose applies rot_x(pi/2) before the NGP remap."""
         R = vec_to_rot_matrix(state12[6:9])
         rot = rot_x(jnp.pi / 2) @ R
         p, t = nerf_matrix_to_ngp_jax(rot, state12[:3])
-        pose = jnp.eye(4).at[:3, :3].set(p).at[:3, 3].set(t)
-        return rays_for_pixels(pose, self.intrinsics, self.fixed_coords)
+        return jnp.eye(4).at[:3, :3].set(p).at[:3, 3].set(t)
+
+    def _obs_rays(self, state12):
+        """Measurement-target rays at the true state (interest pixels)."""
+        return rays_for_pixels(self._obs_pose(state12), self.intrinsics,
+                               self.fixed_coords)
+
+    def _target_pixels(self, state12):
+        """Measurement target values at the interest pixels. "pixels"
+        renders only those rays; "frame" renders the whole obs_hw image
+        (the reference camera's full capture, NerfSimulator.py:113-115),
+        quantizes it, and gathers the pixels — identical values when
+        quantize_target matches, but the frame render is what an obs-size
+        scaling table must pay for."""
+        if self.obs_render == "frame":
+            from ..data.rays import get_rays
+            H, W = self.obs_hw
+            pose = self._obs_pose(state12)
+            rays = get_rays(pose[None], self.intrinsics, H, W)
+            img = self.render_rays_fn(rays["rays_o"].reshape(1, -1, 3),
+                                      rays["rays_d"].reshape(1, -1, 3))
+            img = img["image"].reshape(H, W, 3)
+            if self.quantize_target:
+                img = jnp.floor(jnp.clip(img, 0.0, 1.0) * 255.0) / 255.0
+            return img[self.fixed_coords[:, 0], self.fixed_coords[:, 1]]
+        ro, rd = self._obs_rays(state12)
+        img = self.render_rays_fn(ro.reshape(1, -1, 3),
+                                  rd.reshape(1, -1, 3))["image"]
+        target_vals = img.reshape(-1, 3)
+        if self.quantize_target:
+            target_vals = jnp.floor(
+                jnp.clip(target_vals, 0.0, 1.0) * 255.0) / 255.0
+        return target_vals
 
     def _est_rays(self, state12):
         """Candidate-pose rays inside the measurement (Estimator.
@@ -192,7 +234,6 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
 
     # ------------------------------------------------------------------ build
     def _build(self):
-        quant = self.quantize_target
 
         def sim_step(carry, noise_t_and_t):
             noise, t = noise_t_and_t
@@ -211,13 +252,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                                        self.mass, self.I, self.invI) + noise
 
             # 3. measurement target at the true pose (NerfSimulator.py:113-115)
-            ro, rd = self._obs_rays(true_next)
-            img = self.render_rays_fn(ro.reshape(1, -1, 3),
-                                      rd.reshape(1, -1, 3))["image"]
-            target_vals = img.reshape(-1, 3)
-            if quant:
-                target_vals = jnp.floor(
-                    jnp.clip(target_vals, 0.0, 1.0) * 255.0) / 255.0
+            target_vals = self._target_pixels(true_next)
 
             # 4. estimator (estimator_helpers.py:261-319)
             xt_new, sig_new = self._estimate(xt, sig, action, target_vals)
