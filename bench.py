@@ -594,6 +594,28 @@ def main():
                                warmup_frames=1, batches=3, batch=2)
             ref = {"psnr_db": round(psnr_of(rimg, gt), 2),
                    "rays_per_s": round(n_rays / rdt)}
+
+            # level-masked variant (VERDICT r3 item 7 / ROADMAP #5): the
+            # corner layout costs L*2^D = 128 gather rows/sample
+            # (gridencoder.cu:54-72); a static max_level drops the
+            # sub-footprint fine levels' rows. Reported alongside so the
+            # fidelity cost of the mask is visible in the artifact.
+            ml = int(os.environ.get("BENCH_REF_MAX_LEVEL", "8"))
+            if 0 < ml < rnet.cfg.num_levels:
+                mnet = make_network(_replace(rnet.cfg, max_level=ml))
+
+                def ref_render_masked(ro, rd):
+                    return R.render_frame_fast(
+                        mnet, rparams, rstate, *padded(ro, rd), tile=TILE,
+                        max_samples=MAX_SAMPLES, max_steps=512,
+                        samples_per_hit=2, dt_gamma=dt_gamma)["image"]
+
+                mimg = ref_render_masked(ro, rd)
+                mdt = _time_render(ref_render_masked, sph["views"], n_rays,
+                                   warmup_frames=1, batches=3, batch=2)
+                ref["masked"] = {"max_level": ml,
+                                 "psnr_db": round(psnr_of(mimg, gt), 2),
+                                 "rays_per_s": round(n_rays / mdt)}
         except Exception as e:                              # noqa: BLE001
             ref = {"error": str(e)[:200]}
 

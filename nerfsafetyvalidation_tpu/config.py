@@ -57,6 +57,12 @@ class NetworkConfig:
     # — numerically identical; selects how many gather rows the HBM gather
     # engine is issued per sample (bench_gather.py section H decides)
     train_gather: str = "corner8"
+    # static level mask (ROADMAP #5, mip-style): encode only levels
+    # < max_level — masked levels contribute zero features AND issue no
+    # gather rows (the row count is what bounds the reference-layout
+    # encoders on TPU, gridencoder.cu:54-72 costs L*2^D rows/sample).
+    # None keeps every level (exact reference semantics).
+    max_level: Optional[int] = None
 
     @property
     def cascade(self) -> int:

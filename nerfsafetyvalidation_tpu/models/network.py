@@ -209,17 +209,20 @@ class NeRFNetwork:
                 return hash_grid_encode_folded(
                     enc["fold_table"].astype(self.compute_dtype),
                     enc["hash_cell_table"].astype(self.compute_dtype),
-                    x, self.grid_spec, n_fold, bound=cfg.bound)
+                    x, self.grid_spec, n_fold, bound=cfg.bound,
+                    max_level=cfg.max_level)
             if "cell_table" in params.get("encoder", {}):
                 tbl = params["encoder"]["cell_table"].astype(self.compute_dtype)
                 return hash_grid_encode_cell(tbl, x, self.grid_spec,
-                                             bound=cfg.bound)
+                                             bound=cfg.bound,
+                                             max_level=cfg.max_level)
             # cast the table to the compute dtype before the gather: halves the
             # HBM bytes of the random-access corner fetches (the hot memory
             # pattern), mirroring the reference's fp16-table autocast
             # (grid.py:36-39)
             emb = params["encoder"]["embeddings"].astype(self.compute_dtype)
-            return hash_grid_encode(emb, x, self.grid_spec, bound=cfg.bound)
+            return hash_grid_encode(emb, x, self.grid_spec, bound=cfg.bound,
+                                    max_level=cfg.max_level)
         if cfg.encoding == "frequency":
             return freq_encode(x, cfg.multires)
         return x

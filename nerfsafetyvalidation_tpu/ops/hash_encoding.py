@@ -287,21 +287,46 @@ def _chunked_encode(encode_one, x, out_dim):
     return out.reshape(n_chunks * ENCODE_CHUNK, out_dim)[:N]
 
 
+def _pad_masked_levels(out_lc, n_active, spec):
+    """Zero-fill the level-major output for levels >= n_active (the static
+    level mask): [N, n_active, C] -> [N, L*C]. Masked levels contribute
+    exactly-zero features — the mip-style footprint semantics (levels finer
+    than the sample footprint carry aliased detail) — and, because the mask
+    is STATIC, their gather rows are never issued, which is the entire
+    saving (row count, not FLOPs, bounds these encoders on TPU)."""
+    N = out_lc.shape[0]
+    if n_active == spec.num_levels:
+        return out_lc.reshape(N, spec.output_dim)
+    pad = jnp.zeros((N, spec.num_levels - n_active, spec.level_dim),
+                    out_lc.dtype)
+    return jnp.concatenate([out_lc, pad], axis=1).reshape(N, spec.output_dim)
+
+
+def _n_active(spec, max_level):
+    if max_level is None:
+        return spec.num_levels
+    return max(1, min(int(max_level), spec.num_levels))
+
+
 def hash_grid_encode_cell(cell_table, x, spec: HashGridSpec,
-                          bound: float = 1.0):
+                          bound: float = 1.0, max_level=None):
     """Cell-layout encode: one row gather per (point, level); trilinear blend
     of the row's 2^D corner features. Semantics match hash_grid_encode for
     dense levels exactly and differ only in collision structure for hashed
-    levels."""
+    levels. max_level (static) drops levels >= it: zero features, no gather
+    rows issued (see _pad_masked_levels)."""
     prefix = x.shape[:-1]
     x = x.reshape(-1, spec.input_dim)
     out = _chunked_encode(
-        lambda xc: _encode_cell_chunk(cell_table, xc, spec, bound),
+        lambda xc: _encode_cell_chunk(cell_table, xc, spec, bound,
+                                      _n_active(spec, max_level)),
         x, spec.output_dim)
     return out.reshape(prefix + (spec.output_dim,))
 
 
-def _encode_cell_chunk(cell_table, x, spec, bound):
+def _encode_cell_chunk(cell_table, x, spec, bound, n_active=None):
+    if n_active is None:
+        n_active = spec.num_levels
     u = (x.astype(jnp.float32) + bound) / (2.0 * bound)
     oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)
     bits_f = _corner_bits(spec.input_dim).astype(np.float32)
@@ -312,7 +337,7 @@ def _encode_cell_chunk(cell_table, x, spec, bound):
     # (per-op issue cost dominates small gathers), so one [N*L]-row take
     # beats L separate [N]-row takes by ~4-5x.
     all_rows, all_w = [], []
-    for lvl in range(spec.num_levels):
+    for lvl in range(n_active):
         scale = np.float32(spec.scales[lvl])
         pos = u * scale + (0.0 if spec.align_corners else np.float32(0.5))
         pos_floor = jnp.floor(pos)
@@ -327,31 +352,35 @@ def _encode_cell_chunk(cell_table, x, spec, bound):
         all_w.append(jnp.prod(jnp.where(jnp.asarray(bits_f)[None] > 0,
                                         frac[:, None, :],
                                         1.0 - frac[:, None, :]), axis=-1))
-    rows = jnp.stack(all_rows, axis=1)                  # [N, L]
-    w = jnp.stack(all_w, axis=1)                        # [N, L, 2^D]
-    feats = jnp.take(cell_table, rows, axis=0)          # [N, L, 2^D*C]
-    feats = feats.reshape(feats.shape[0], spec.num_levels,
+    rows = jnp.stack(all_rows, axis=1)                  # [N, La]
+    w = jnp.stack(all_w, axis=1)                        # [N, La, 2^D]
+    feats = jnp.take(cell_table, rows, axis=0)          # [N, La, 2^D*C]
+    feats = feats.reshape(feats.shape[0], n_active,
                           2 ** spec.input_dim, spec.level_dim)
     out = jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=2)
-    out = out.reshape(out.shape[0], spec.output_dim)
+    out = _pad_masked_levels(out, n_active, spec)
     return jnp.where(oob[:, None], jnp.zeros_like(out), out)
 
 
-def hash_grid_encode(embeddings, x, spec: HashGridSpec, bound: float = 1.0):
+def hash_grid_encode(embeddings, x, spec: HashGridSpec, bound: float = 1.0,
+                     max_level=None):
     """Encode positions.
 
     embeddings: [total_params, C] table; x: [..., D] in [-bound, bound].
-    Returns [..., L*C] with level-major features.
-    """
+    Returns [..., L*C] with level-major features. max_level (static) drops
+    levels >= it: zero features, no gather rows issued."""
     prefix = x.shape[:-1]
     x = x.reshape(-1, spec.input_dim)
     out = _chunked_encode(
-        lambda xc: _encode_corner_chunk(embeddings, xc, spec, bound),
+        lambda xc: _encode_corner_chunk(embeddings, xc, spec, bound,
+                                        _n_active(spec, max_level)),
         x, spec.output_dim)
     return out.reshape(prefix + (spec.output_dim,))
 
 
-def _encode_corner_chunk(embeddings, x, spec, bound):
+def _encode_corner_chunk(embeddings, x, spec, bound, n_active=None):
+    if n_active is None:
+        n_active = spec.num_levels
     u = (x.astype(jnp.float32) + bound) / (2.0 * bound)
     oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)  # [N]
     bits = _corner_bits(spec.input_dim)  # [2^D, D] uint32 (static)
@@ -360,7 +389,7 @@ def _encode_corner_chunk(embeddings, x, spec, bound):
     # per-level index math, then ONE fused gather across all levels/corners
     # (gather throughput grows with rows per op; see hash_grid_encode_cell)
     all_rows, all_w = [], []
-    for lvl in range(spec.num_levels):
+    for lvl in range(n_active):
         scale = np.float32(spec.scales[lvl])
         pos = u * scale + (0.0 if spec.align_corners else np.float32(0.5))
         pos_floor = jnp.floor(pos)
@@ -374,11 +403,11 @@ def _encode_corner_chunk(embeddings, x, spec, bound):
                                frac[:, None, :], 1.0 - frac[:, None, :]), axis=-1)  # [N, 2^D]
         all_rows.append(_level_rows(spec, lvl, corner_grid))  # [N, 2^D]
         all_w.append(w)
-    rows = jnp.stack(all_rows, axis=1)                 # [N, L, 2^D]
-    w = jnp.stack(all_w, axis=1)                       # [N, L, 2^D]
-    feats = jnp.take(embeddings, rows, axis=0)         # [N, L, 2^D, C]
-    out = jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=2)  # [N, L, C]
-    out = out.reshape(out.shape[0], spec.output_dim)   # level-major [N, L*C]
+    rows = jnp.stack(all_rows, axis=1)                 # [N, La, 2^D]
+    w = jnp.stack(all_w, axis=1)                       # [N, La, 2^D]
+    feats = jnp.take(embeddings, rows, axis=0)         # [N, La, 2^D, C]
+    out = jnp.sum(w[..., None].astype(feats.dtype) * feats, axis=2)
+    out = _pad_masked_levels(out, n_active, spec)      # level-major [N, L*C]
     return jnp.where(oob[:, None], jnp.zeros_like(out), out)
 
 
@@ -479,20 +508,27 @@ def build_hashed_cell_table(embeddings, spec: HashGridSpec, fold_levels: int):
 
 def hash_grid_encode_folded(fold_table, hashed_cell_table, x,
                             spec: HashGridSpec, fold_levels: int,
-                            bound: float = 1.0):
+                            bound: float = 1.0, max_level=None):
     """Folded encode: 1 row gather for all folded levels + 1 cell row per
-    finer level. Exact-equal to hash_grid_encode_cell for aligned specs."""
+    finer level. Exact-equal to hash_grid_encode_cell for aligned specs.
+    max_level (static) drops levels >= it: zero features; rows are saved
+    for the per-level fine gathers (the fold row is one gather however
+    many folded levels it carries, so masking inside the fold zeroes
+    features without a row saving)."""
     prefix = x.shape[:-1]
     x = x.reshape(-1, spec.input_dim)
     out = _chunked_encode(
         lambda xc: _encode_folded_chunk(fold_table, hashed_cell_table, xc,
-                                        spec, fold_levels, bound),
+                                        spec, fold_levels, bound,
+                                        _n_active(spec, max_level)),
         x, spec.output_dim)
     return out.reshape(prefix + (spec.output_dim,))
 
 
 def _encode_folded_chunk(fold_table, hashed_cell_table, x, spec,
-                         fold_levels, bound):
+                         fold_levels, bound, n_active=None):
+    if n_active is None:
+        n_active = spec.num_levels
     u = (x.astype(jnp.float32) + bound) / (2.0 * bound)
     oob = jnp.any((u < 0.0) | (u > 1.0), axis=-1)
     F = int(spec.scales[fold_levels - 1])
@@ -512,15 +548,22 @@ def _encode_folded_chunk(fold_table, hashed_cell_table, x, spec,
     feats = feats.reshape(feats.shape[0], fold_levels, 8, C)
     dense_out = jnp.sum(w8[:, None, :, None].astype(feats.dtype) * feats,
                         axis=2)                               # [N, nf, C]
+    if n_active < fold_levels:
+        # masked levels inside the fold: zero the features (the fold row
+        # is fetched whole regardless)
+        lvl_mask = (jnp.arange(fold_levels) < n_active).astype(
+            dense_out.dtype)
+        dense_out = dense_out * lvl_mask[None, :, None]
     outs = [dense_out.reshape(dense_out.shape[0], fold_levels * C)]
 
-    # finer levels: standard cell-layout encode, offsets rebased
-    n_hash = spec.num_levels - fold_levels
+    # finer levels: standard cell-layout encode, offsets rebased; the
+    # static mask drops rows here (one per masked fine level per sample)
+    n_hash = max(n_active, fold_levels) - fold_levels
     if n_hash > 0:
         sizes, offsets, strides = cell_sizes(spec)
         base = offsets[fold_levels]
         all_rows, all_w = [], []
-        for lvl in range(fold_levels, spec.num_levels):
+        for lvl in range(fold_levels, fold_levels + n_hash):
             scale = np.float32(spec.scales[lvl])
             p = u * scale
             pf = jnp.minimum(jnp.floor(p), scale - 1.0)
@@ -538,5 +581,9 @@ def _encode_folded_chunk(fold_table, hashed_cell_table, x, spec,
         hout = jnp.sum(w[..., None].astype(hf.dtype) * hf, axis=2)
         outs.append(hout.reshape(hout.shape[0], n_hash * C))
 
+    n_masked_fine = spec.num_levels - max(n_active, fold_levels)
+    if n_masked_fine > 0:
+        outs.append(jnp.zeros((x.shape[0], n_masked_fine * C),
+                              outs[0].dtype))
     out = jnp.concatenate(outs, axis=-1)
     return jnp.where(oob[:, None], jnp.zeros_like(out), out)

@@ -393,3 +393,83 @@ class TestFoldedEncode:
         np.testing.assert_allclose(np.asarray(a["sigma"]),
                                    np.asarray(b["sigma"]), rtol=2e-4,
                                    atol=1e-5)
+
+
+class TestLevelMask:
+    """Static max_level masking (ROADMAP #5 / VERDICT r3 item 7): levels
+    >= max_level contribute exactly-zero features in every layout, and the
+    unmasked prefix is bit-identical to the full encode."""
+
+    def _setup(self, aligned=False):
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import (
+            HashGridSpec, hash_grid_init)
+        if aligned:
+            spec = HashGridSpec.make(num_levels=5, level_dim=2,
+                                     base_resolution=4,
+                                     log2_hashmap_size=10, aligned=True)
+        else:
+            spec = HashGridSpec.make(num_levels=8, level_dim=2,
+                                     desired_resolution=256)
+        emb = hash_grid_init(jax.random.PRNGKey(2), spec)
+        x = jnp.asarray(np.random.default_rng(9).uniform(-0.9, 0.9, (64, 3)),
+                        dtype=jnp.float32)
+        return spec, emb, x
+
+    def _check(self, full, masked, spec, max_level):
+        full = np.asarray(full).reshape(-1, spec.num_levels, spec.level_dim)
+        masked = np.asarray(masked).reshape(-1, spec.num_levels,
+                                            spec.level_dim)
+        np.testing.assert_array_equal(masked[:, :max_level],
+                                      full[:, :max_level])
+        np.testing.assert_array_equal(
+            masked[:, max_level:], np.zeros_like(masked[:, max_level:]))
+
+    @pytest.mark.parametrize("max_level", [1, 3, 6])
+    def test_corner_layout(self, max_level):
+        spec, emb, x = self._setup()
+        full = hash_grid_encode(emb, x, spec)
+        masked = hash_grid_encode(emb, x, spec, max_level=max_level)
+        self._check(full, masked, spec, max_level)
+
+    @pytest.mark.parametrize("max_level", [2, 5])
+    def test_cell_layout(self, max_level):
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import (
+            build_cell_table, hash_grid_encode_cell)
+        spec, emb, x = self._setup()
+        tbl = build_cell_table(emb, spec)
+        full = hash_grid_encode_cell(tbl, x, spec)
+        masked = hash_grid_encode_cell(tbl, x, spec, max_level=max_level)
+        self._check(full, masked, spec, max_level)
+
+    @pytest.mark.parametrize("max_level", [1, 3, 4])
+    def test_folded_layout(self, max_level):
+        # aligned 5-level spec folds 4,8,16,32 at fold_max_scale=32 ->
+        # max_level=1/3 masks inside the fold, 4 drops the fine cell row
+        from nerfsafetyvalidation_tpu.ops.hash_encoding import (
+            build_folded_table, build_hashed_cell_table,
+            hash_grid_encode_folded, default_fold_levels)
+        spec, emb, x = self._setup(aligned=True)
+        n_fold = default_fold_levels(spec, 32)
+        ft = build_folded_table(emb, spec, n_fold)
+        ht = build_hashed_cell_table(emb, spec, n_fold)
+        full = hash_grid_encode_folded(ft, ht, x, spec, n_fold)
+        masked = hash_grid_encode_folded(ft, ht, x, spec, n_fold,
+                                         max_level=max_level)
+        self._check(full, masked, spec, max_level)
+
+    def test_network_config_threads_max_level(self):
+        from nerfsafetyvalidation_tpu.config import NetworkConfig
+        from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+        cfg = NetworkConfig(num_levels=4, desired_resolution=64, bound=1.0)
+        net = NeRFNetwork(cfg)
+        params = net.init(jax.random.PRNGKey(0))
+        from dataclasses import replace
+        net_m = NeRFNetwork(replace(cfg, max_level=2))
+        x = jnp.asarray(np.random.default_rng(1).uniform(-0.9, 0.9, (16, 3)),
+                        dtype=jnp.float32)
+        full = np.asarray(net.encode_pos(params, x))
+        masked = np.asarray(net_m.encode_pos(params, x))
+        L, C = cfg.num_levels, cfg.level_dim
+        np.testing.assert_array_equal(masked.reshape(-1, L, C)[:, 2:], 0.0)
+        np.testing.assert_array_equal(masked.reshape(-1, L, C)[:, :2],
+                                      full.reshape(-1, L, C)[:, :2])
