@@ -57,10 +57,18 @@ _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 # per-scene bench plumbing: cache/workspace/asset names and the PSNR gate.
 # "spheres" keeps the round-1..3 names so committed assets stay valid.
-# Gate rationale: spheres 28 dB = the round-2 bar (teacher fidelity);
-# gauntlet is intrinsically harder (thin structures at the training res),
-# so its bar is set relative to what the exact marched path achieves on a
-# trained field — BENCH_GATE_GAUNTLET_DB pins the measured value.
+# Gate rationale: spheres 28 dB = the round-2 bar (teacher fidelity).
+# gauntlet is intrinsically harder (thin structures at the training res):
+# the exact marched path itself measures ~23.2 dB on the trained field, so
+# an absolute bar would fail every mode and gate nothing. Its job is to
+# catch APPROXIMATION collapse (the round-3 scout-bug class: a mode that
+# holds the smooth scene but falls apart on thin structures), so the bar
+# is RELATIVE: a mode passes gauntlet if it is within `rel_margin` dB of
+# the exact marched path's measured 4-pose mean on the same trained field
+# (capped by the absolute env default). Margin rationale: the baked
+# student's approximation cost is scene-consistent ~1.0-1.3 dB (spheres
+# 31.08->30.10, gauntlet 23.18->21.84, 2026-08-19 capture); collapse modes
+# lose 3+ dB MORE on gauntlet than on spheres (baked8: -2.9 vs -4.5).
 SCENE_SPECS = {
     "spheres": dict(dir="scene", ws="ws", asset="flagship.ckpt",
                     student="bench_student.pkl",
@@ -68,7 +76,9 @@ SCENE_SPECS = {
     "gauntlet": dict(dir="scene_gauntlet", ws="ws_gauntlet",
                      asset="flagship_gauntlet.ckpt",
                      student="bench_student_gauntlet.pkl",
-                     gate=("BENCH_GATE_GAUNTLET_DB", 24.0)),
+                     gate=("BENCH_GATE_GAUNTLET_DB", 24.0),
+                     rel_margin=("BENCH_GATE_GAUNTLET_REL_DB", 1.5),
+                     rel_anchor="fast"),
 }
 BENCH_SCENES = [s for s in os.environ.get(
     "BENCH_SCENES", "spheres,gauntlet").split(",") if s]
@@ -124,10 +134,12 @@ def _seed_cache_from_assets():
             os.makedirs(dst_dir, exist_ok=True)
             _upcast_asset(src, os.path.join(dst_dir,
                                             f"{name}_ep9999.ckpt"))
-    for spec in SCENE_SPECS.values():
-        src = os.path.join(_ASSETS, spec["student"])
-        dst = os.path.join(_CACHE, spec["student"])
-        if os.path.exists(src) and not os.path.exists(dst):
+    # students: the base per-scene pkl plus any K/capacity variants
+    # (bench_student*_k12.pkl etc — _get_student cache names)
+    import glob as _glob
+    for src in _glob.glob(os.path.join(_ASSETS, "bench_student*.pkl")):
+        dst = os.path.join(_CACHE, os.path.basename(src))
+        if not os.path.exists(dst):
             shutil.copy(src, dst)
 
 
@@ -228,9 +240,15 @@ def _train_flagship(scene="spheres"):
     return net, trainer.params, state
 
 
-def _get_student(net, fparams, state, key, scene="spheres"):
+def _get_student(net, fparams, state, key, scene="spheres",
+                 K=MAX_SAMPLES, hidden_dim=256, num_layers=6):
     """Distill (or reload) the gather-free student for the baked render
-    path (models/bake.py); cached in .bench_cache/<student>.pkl."""
+    path (models/bake.py); cached in .bench_cache/<student>.pkl.
+
+    K / hidden_dim / num_layers select a VARIANT student (its pixel
+    fine-tune runs at the deployed window sample count — a K=12 window
+    couples alpha to a different dtw than K=16, so each K gets its own
+    fine-tune; VERDICT r3 item 1b) cached under a tagged name."""
     import pickle
     import jax
     from nerfsafetyvalidation_tpu.models import make_network
@@ -241,8 +259,15 @@ def _get_student(net, fparams, state, key, scene="spheres"):
                                                     nerf_matrix_to_ngp)
     import jax.numpy as jnp
 
-    scfg = student_config(net.cfg, multires=12, hidden_dim=256, num_layers=6)
-    cache_f = os.path.join(_CACHE, SCENE_SPECS[scene]["student"])
+    scfg = student_config(net.cfg, multires=12, hidden_dim=hidden_dim,
+                          num_layers=num_layers)
+    tag = ""
+    if K != MAX_SAMPLES:
+        tag += f"_k{K}"
+    if (hidden_dim, num_layers) != (256, 6):
+        tag += f"_h{hidden_dim}x{num_layers}"
+    base = SCENE_SPECS[scene]["student"]
+    cache_f = os.path.join(_CACHE, base.replace(".pkl", tag + ".pkl"))
     student = make_network(scfg)
     if os.path.exists(cache_f):
         with open(cache_f, "rb") as f:
@@ -272,7 +297,7 @@ def _get_student(net, fparams, state, key, scene="spheres"):
         student, sparams, net, fparams, state,
         jnp.asarray(np.concatenate(pool_o)),
         jnp.asarray(np.concatenate(pool_d)), k2, steps=ft_steps,
-        K=MAX_SAMPLES)
+        K=K)
     with open(cache_f, "wb") as f:
         import jax as _jax
         pickle.dump(_jax.device_get(sparams), f)
@@ -439,9 +464,15 @@ def main():
                           rays["rays_d"].reshape(-1, 3), gt))
         gate_env, gate_default = SCENE_SPECS[scene]["gate"]
         scenes[scene] = dict(
-            net=net_r, fparams=fparams, state=state, student=student_r,
-            sparams=sparams, views=views,
+            net=net_r, net_raw=net, fparams=fparams, state=state,
+            student=student_r, sparams=sparams, views=views,
+            students={MAX_SAMPLES: (student_r, sparams)},
             gate_db=float(os.environ.get(gate_env, str(gate_default))))
+        rel = SCENE_SPECS[scene].get("rel_margin")
+        if rel is not None:
+            scenes[scene]["rel_margin"] = float(
+                os.environ.get(rel[0], str(rel[1])))
+            scenes[scene]["rel_anchor"] = SCENE_SPECS[scene]["rel_anchor"]
 
     n_rays = scenes[BENCH_SCENES[0]]["views"][0][0].shape[0]
     n_tiles = (n_rays + TILE - 1) // TILE
@@ -462,14 +493,29 @@ def main():
 
     # ---- candidate render modes; each builder takes a scene dict and
     # returns a frame-render closure
+    def _student_k(sc, scene, k):
+        """Student variant fine-tuned at the deployed window count K
+        (cached via _get_student's tagged pkl; committed via
+        freeze_bench_assets so driver runs never retrain)."""
+        if k not in sc["students"]:
+            student, sparams = _get_student(
+                sc["net_raw"], sc["fparams"], sc["state"],
+                jax.random.PRNGKey(7 + k), scene, K=k)
+            student_r = make_network(_replace(student.cfg, fused=True)) \
+                if use_fused else student
+            sc["students"][k] = (student_r, sparams)
+        return sc["students"][k]
+
     def mode_baked_k(k):
         # gather-free end to end: student scout prepass fused into the
         # fine jit (prepass_mode="scout") + raster-order tiles; the
         # sigma+color chain is XLA-fused dense matmuls (BENCH_FUSED=1
         # swaps in the pallas megakernel, measured slower — see above)
         def build(sc):
+            scene = next(s for s in BENCH_SCENES if scenes[s] is sc)
+            student, sparams = _student_k(sc, scene, k)
             return lambda ro, rd: R.render_frame_guided(
-                sc["student"], sc["sparams"], sc["state"], ro, rd, H, W,
+                student, sparams, sc["state"], ro, rd, H, W,
                 prepass_factor=8, max_samples=k, tile=8192, max_steps=512,
                 dt_gamma=dt_gamma, prepass_mode="scout")["image"]
         return build
@@ -507,6 +553,37 @@ def main():
     first_gate_only = os.environ.get("BENCH_FIRST_GATE", "0") == "1"
     n_time_batches = int(os.environ.get("BENCH_TIME_BATCHES", "5"))
     n_time_batch = int(os.environ.get("BENCH_TIME_BATCH", "4"))
+
+    _score_cache = {}
+
+    def score(name, scene):
+        """(psnr_mean, psnr_min, render_fn) of a mode on a scene's 4
+        held-out poses; memoized so the relative-gate anchor render is
+        not paid twice."""
+        hit = _score_cache.get((name, scene))
+        if hit is None:
+            sc = scenes[scene]
+            render = builders[name](sc)
+            psnrs = [psnr_of(render(v[0], v[1]), v[2]) for v in sc["views"]]
+            hit = _score_cache[(name, scene)] = (
+                float(np.mean(psnrs)), float(np.min(psnrs)), render)
+        return hit
+
+    # resolve relative gates first: the anchor (exact marched path) is
+    # scored up front and the scene's bar becomes
+    # min(absolute default, anchor_mean - rel_margin)
+    for scene in BENCH_SCENES:
+        sc = scenes[scene]
+        if "rel_anchor" in sc:
+            try:
+                anchor_mean, _, _ = score(sc["rel_anchor"], scene)
+                sc["gate_db"] = min(sc["gate_db"],
+                                    anchor_mean - sc["rel_margin"])
+                sc["gate_anchor_db"] = round(anchor_mean, 2)
+            except Exception as e:                          # noqa: BLE001
+                # anchor failed to render: keep the absolute bar
+                sc["gate_anchor_error"] = str(e)[:200]
+
     all_modes = {}
     passing = []
     for name in mode_order:
@@ -516,15 +593,12 @@ def main():
         for scene in BENCH_SCENES:
             sc = scenes[scene]
             try:
-                render = builders[name](sc)
-                psnrs = [psnr_of(render(v[0], v[1]), v[2])
-                         for v in sc["views"]]
+                mean_p, min_p, render = score(name, scene)
             except Exception as e:                          # noqa: BLE001
                 entry[scene] = {"error": str(e)[:200]}
                 ok = False
                 break
             renders[scene] = render
-            mean_p, min_p = float(np.mean(psnrs)), float(np.min(psnrs))
             entry[scene] = {"psnr_mean": round(mean_p, 2),
                             "psnr_min": round(min_p, 2)}
             if mean_p < sc["gate_db"]:
@@ -631,6 +705,13 @@ def main():
         "mode": name,
         "gate_pass": bool(all_modes[name].get("pass", False)),
         "scenes": BENCH_SCENES,
+        "gates": {s: {k: v for k, v in
+                      [("gate_db", round(scenes[s]["gate_db"], 2)),
+                       ("anchor_db", scenes[s].get("gate_anchor_db")),
+                       ("anchor_error",
+                        scenes[s].get("gate_anchor_error"))]
+                      if v is not None}
+                  for s in BENCH_SCENES},
         "modes": all_modes,
     }
     if ref is not None:

@@ -81,14 +81,14 @@ def main():
         dst = os.path.join(ASSETS, f"{name}.ckpt")
         slim(src, dst)
         frozen.append((dst, os.path.getsize(dst)))
-    for student in ["bench_student.pkl", "bench_student_gauntlet.pkl"]:
-        src = os.path.join(CACHE, student)
-        if os.path.exists(src):
-            dst = os.path.join(ASSETS, student)
-            shutil.copy(src, dst)
-            frozen.append((dst, os.path.getsize(dst)))
-        else:
-            print(f"[WARN] no {student} — skipped")
+    import glob
+    students = sorted(glob.glob(os.path.join(CACHE, "bench_student*.pkl")))
+    if not students:
+        print("[WARN] no bench_student*.pkl — skipped")
+    for src in students:
+        dst = os.path.join(ASSETS, os.path.basename(src))
+        shutil.copy(src, dst)
+        frozen.append((dst, os.path.getsize(dst)))
     if not frozen:
         sys.exit("nothing to freeze — run `python bench.py` first")
     for path, size in frozen:
