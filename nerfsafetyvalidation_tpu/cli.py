@@ -36,6 +36,9 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--num_steps", type=int, default=512)
     parser.add_argument("--upsample_steps", type=int, default=0)
     parser.add_argument("--update_extra_interval", type=int, default=16)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help=">1 fuses that many training steps into one "
+                             "jitted scan dispatch (identical trajectory)")
     parser.add_argument("--max_ray_batch", type=int, default=4096)
     parser.add_argument("--fp16", action="store_true",
                         help="bfloat16 compute on TPU")

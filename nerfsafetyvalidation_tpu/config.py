@@ -85,6 +85,9 @@ class TrainConfig:
     upsample_steps: int = 0
     max_steps: int = 1024
     update_extra_interval: int = 16
+    # >1 fuses that many training steps (collate+step) into one jitted
+    # lax.scan dispatch — identical trajectory, fewer host round-trips
+    steps_per_dispatch: int = 1
     max_ray_batch: int = 4096
     fp16: bool = False              # on TPU this selects bfloat16 compute
     preload: bool = True

@@ -28,6 +28,36 @@ except ImportError:  # pragma: no cover
 from .rays import get_rays, nerf_matrix_to_ngp, rand_poses
 
 
+def fast_collate_math(poses_all, images_flat, idx, key, *, H, W, N,
+                      intrinsics):
+    """Pure collate math shared by the jitted per-step fast path
+    (_fast_collate_fn) and the trainer's fused multi-step scan
+    (trainer._scan_block_fn): pose gather + ray synthesis + pixel gather,
+    identical key usage and math to the eager path (same inds, same
+    rays). idx [B] int32; returns (rays_o, rays_d, inds, images)."""
+    fx, fy, cx, cy = intrinsics
+    poses = jnp.take(poses_all, idx, axis=0)              # [B, 4, 4]
+    k_pose, k_rays = jax.random.split(key)
+    del k_pose  # parity with the eager path's key consumption
+    inds = jax.random.randint(k_rays, (N,), 0, H * W)
+    inds = jnp.broadcast_to(inds, (idx.shape[0], N))
+    # meshgrid(indexing="xy") reshaped row-major: n -> (n//W, n%W)
+    i = (inds % W).astype(jnp.float32) + 0.5
+    j = (inds // W).astype(jnp.float32) + 0.5
+    zs = jnp.ones_like(i)
+    xs = (i - cx) / fx * zs
+    ys = (j - cy) / fy * zs
+    dirs = jnp.stack([xs, ys, zs], axis=-1)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = jnp.einsum("bnk,bjk->bnj", dirs, poses[:, :3, :3],
+                        precision=jax.lax.Precision.HIGHEST)
+    rays_o = jnp.broadcast_to(poses[:, None, :3, 3], rays_d.shape)
+    imgs = jnp.take(images_flat, idx, axis=0)             # [B, HW, C]
+    imgs = jnp.take_along_axis(
+        imgs, inds[..., None].astype(jnp.int32), axis=1)
+    return rays_o, rays_d, inds, imgs.astype(jnp.float32)
+
+
 class NeRFDataset:
     def __init__(self, opt, type: str = "train", downscale: int = 1,
                  n_test: int = 10):
@@ -193,30 +223,12 @@ class NeRFDataset:
         # pixels than the documented 'identical math' parity allows
         H, W = self.H, self.W
         N = min(self.num_rays, H * W)
-        fx, fy, cx, cy = [float(v) for v in self.intrinsics]
+        intr = tuple(float(v) for v in self.intrinsics)
 
         @jax.jit
         def fast(poses_all, images_flat, idx, key):
-            poses = jnp.take(poses_all, idx, axis=0)          # [B, 4, 4]
-            k_pose, k_rays = jax.random.split(key)
-            del k_pose  # parity with the eager path's key consumption
-            inds = jax.random.randint(k_rays, (N,), 0, H * W)
-            inds = jnp.broadcast_to(inds, (B, N))
-            # meshgrid(indexing="xy") reshaped row-major: n -> (n//W, n%W)
-            i = (inds % W).astype(jnp.float32) + 0.5
-            j = (inds // W).astype(jnp.float32) + 0.5
-            zs = jnp.ones_like(i)
-            xs = (i - cx) / fx * zs
-            ys = (j - cy) / fy * zs
-            dirs = jnp.stack([xs, ys, zs], axis=-1)
-            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-            rays_d = jnp.einsum("bnk,bjk->bnj", dirs, poses[:, :3, :3],
-                                precision=jax.lax.Precision.HIGHEST)
-            rays_o = jnp.broadcast_to(poses[:, None, :3, 3], rays_d.shape)
-            imgs = jnp.take(images_flat, idx, axis=0)         # [B, HW, C]
-            imgs = jnp.take_along_axis(
-                imgs, inds[..., None].astype(jnp.int32), axis=1)
-            return rays_o, rays_d, inds, imgs.astype(jnp.float32)
+            return fast_collate_math(poses_all, images_flat, idx, key,
+                                     H=H, W=W, N=N, intrinsics=intr)
 
         if not hasattr(self, "_fast_collate_cache"):
             self._fast_collate_cache = {}
@@ -303,7 +315,11 @@ class _Loader:
     def __len__(self):
         return self.size
 
-    def __iter__(self):
+    def iter_indices(self):
+        """The pre-collate (index, key) stream of one epoch — advances the
+        epoch/shuffle/key state exactly as __iter__ does. Used by the
+        trainer's fused multi-step path so its training trajectory is
+        bit-identical to the stepwise loop."""
         self.epoch += 1
         order = np.arange(self.size)
         if self._data.training:
@@ -311,4 +327,8 @@ class _Loader:
             rng.shuffle(order)
         for idx in order:
             self.key, sub = jax.random.split(self.key)
-            yield self._data.collate([int(idx)], sub)
+            yield int(idx), sub
+
+    def __iter__(self):
+        for idx, sub in self.iter_indices():
+            yield self._data.collate([idx], sub)

@@ -162,7 +162,6 @@ class Trainer:
 
         self._built_budget = (budget_per_ray, grid_max_samples)
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, opt_state, ema_params, key, rays_o, rays_d, images,
                  renderer_state=None):
             """rays: [B, N, 3]; images: [B, N, C] (C = 3 or 4)."""
@@ -220,7 +219,11 @@ class Trainer:
                     ema_params, params)
             return params, opt_state, ema_params, loss, pred, per_ray
 
-        return step
+        # the pure step math is shared with the fused multi-step scan
+        # (_scan_block_fn); invalidate that cache — it closes over this
+        self._step_math = step
+        self._scan_cache = {}
+        return partial(jax.jit, donate_argnums=(0, 1, 2))(step)
 
     def _grid_max_samples(self):
         """Slot count pairs with the budget phase: fewer slots post-carve
@@ -333,30 +336,39 @@ class Trainer:
         return None, loss
 
     # ---------------------------------------------------------------- epochs
+    def _maybe_refresh(self):
+        """Grid refresh on the update_extra_interval schedule (the
+        reference's every-16-steps update_extra_state, utils.py:777-779)."""
+        if not (self.net.cfg.grid_ray and self.renderer_state is not None and
+                self.global_step % getattr(self.opt, "update_extra_interval",
+                                           16) == 0):
+            return
+        self.key, sub = jax.random.split(self.key)
+        # full probes while the grid still carves (warmup); after
+        # that, rotate strided partial probes (the reference's
+        # partial-update path, renderer.py:472-500) at 1/n_blocks
+        # the cost per refresh
+        warmup = getattr(self.opt, "grid_warmup_steps", 0)
+        n_blocks = int(getattr(self.opt, "grid_partial_blocks", 4))
+        total = self.net.cfg.grid_size ** 3
+        if (self.global_step <= warmup or n_blocks <= 1
+                or total % n_blocks != 0):
+            n_blocks, block = 1, 0
+        else:
+            block = getattr(self, "_grid_block", 0)
+            self._grid_block = (block + 1) % n_blocks
+        self.renderer_state = self._refresh_fn(n_blocks, block)(
+            self.params, self.renderer_state, sub)
+
     def train_one_epoch(self, loader):
+        k = int(getattr(self.opt, "steps_per_dispatch", 1))
+        if k > 1 and self._fused_eligible(loader):
+            return self._train_one_epoch_fused(loader, k)
         self.log(f"==> Start Training Epoch {self.epoch} ...")
         total_loss = 0.0 if self.writer is not None else None
         self.local_step = 0
         for data in loader:
-            if (self.net.cfg.grid_ray and self.renderer_state is not None and
-                    self.global_step % getattr(self.opt, "update_extra_interval",
-                                               16) == 0):
-                self.key, sub = jax.random.split(self.key)
-                # full probes while the grid still carves (warmup); after
-                # that, rotate strided partial probes (the reference's
-                # partial-update path, renderer.py:472-500) at 1/n_blocks
-                # the cost per refresh
-                warmup = getattr(self.opt, "grid_warmup_steps", 0)
-                n_blocks = int(getattr(self.opt, "grid_partial_blocks", 4))
-                total = self.net.cfg.grid_size ** 3
-                if (self.global_step <= warmup or n_blocks <= 1
-                        or total % n_blocks != 0):
-                    n_blocks, block = 1, 0
-                else:
-                    block = getattr(self, "_grid_block", 0)
-                    self._grid_block = (block + 1) % n_blocks
-                self.renderer_state = self._refresh_fn(n_blocks, block)(
-                    self.params, self.renderer_state, sub)
+            self._maybe_refresh()
             self.local_step += 1
             self.global_step += 1
             _, loss = self.train_step(data)
@@ -380,6 +392,127 @@ class Trainer:
             avg = total_loss / max(self.local_step, 1)
         else:
             avg = float(total_loss) / max(self.local_step, 1)
+        self.stats["loss"].append(avg)
+        self.log(f"==> Finished Epoch {self.epoch}. avg loss {avg:.6f}")
+        return avg
+
+    # -------------------------------------------------- fused multi-step path
+    def _fused_eligible(self, loader):
+        """The fused scan path covers the common training configuration:
+        device-resident preloaded images, no error map, no rand-pose
+        interleave, no data-parallel mesh (those fall back to the stepwise
+        loop, which stays the exact-semantics reference path)."""
+        ds = getattr(loader, "_data", None)
+        return (ds is not None and ds.training and ds.error_map is None
+                and getattr(ds, "num_rays", 0) > 0
+                and isinstance(ds.images, jnp.ndarray)
+                and loader.size == len(ds.poses)
+                and self.mesh is None)
+
+    def _scan_block_fn(self, ds, blk):
+        """One jitted donated program running `blk` training steps:
+        lax.scan over (collate + render + loss + backward + adam + EMA).
+        Removes the per-step dispatch round-trip the tunneled platform
+        charges (~25 ms fetch floor / ~5-10 ms dispatch) and lets XLA
+        software-pipeline adjacent steps. The key streams (collate keys
+        from the loader, step keys from the carried trainer key) are split
+        in the same order as the stepwise loop, so the training trajectory
+        is identical."""
+        # the stepwise loop increments global_step BEFORE train_step, so
+        # budget phases key off the post-increment step count — evaluate
+        # them as the block's first step will see them
+        saved_gs = self.global_step
+        self.global_step += 1
+        try:
+            budget_key = (self._budget_per_ray(), self._grid_max_samples())
+            if self.net.cfg.grid_ray and budget_key != self._built_budget:
+                # rebuild while bumped so _build_train_step bakes the
+                # same phase values
+                self._train_step = self._build_train_step()
+        finally:
+            self.global_step = saved_gs
+        cache = self._scan_cache
+        key = (blk, ds.H, ds.W, min(ds.num_rays, ds.H * ds.W))
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        from ..data.provider import fast_collate_math
+        step_math = self._step_math
+        H, W = ds.H, ds.W
+        N = min(ds.num_rays, H * W)
+        intr = tuple(float(v) for v in ds.intrinsics)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def block(params, opt_state, ema_params, tkey, ckeys, idxs,
+                  poses_all, images_flat, renderer_state):
+            def body(carry, xs):
+                params, opt_state, ema_params, tkey = carry
+                ckey, idx = xs
+                rays_o, rays_d, _, imgs = fast_collate_math(
+                    poses_all, images_flat, idx[None], ckey,
+                    H=H, W=W, N=N, intrinsics=intr)
+                tkey, sub = jax.random.split(tkey)
+                params, opt_state, ema_params, loss, _, _ = step_math(
+                    params, opt_state, ema_params, sub, rays_o, rays_d,
+                    imgs, renderer_state)
+                return (params, opt_state, ema_params, tkey), loss
+
+            (params, opt_state, ema_params, tkey), losses = jax.lax.scan(
+                body, (params, opt_state, ema_params, tkey), (ckeys, idxs))
+            return params, opt_state, ema_params, tkey, jnp.sum(losses)
+
+        cache[key] = block
+        return block
+
+    def _train_one_epoch_fused(self, loader, k):
+        ds = loader._data
+        self.log(f"==> Start Training Epoch {self.epoch} "
+                 f"(fused, {k} steps/dispatch) ...")
+        interval = int(getattr(self.opt, "update_extra_interval", 16))
+        warmup = int(getattr(self.opt, "grid_warmup_steps", 0))
+        # device-resident collate inputs (same cache + invalidation rule as
+        # the stepwise fast path, NeRFDataset.collate)
+        src_ids = (id(ds.poses), id(ds.images))
+        if getattr(ds, "_dev_cache_ids", None) != src_ids:
+            ds._poses_dev = jnp.asarray(ds.poses)
+            ds._images_flat = ds.images.reshape(
+                len(ds.poses), -1, ds.images.shape[-1])
+            ds._dev_cache_ids = src_ids
+        pairs = list(loader.iter_indices())
+        total_loss = None
+        self.local_step = 0
+        i = 0
+        while i < len(pairs):
+            self._maybe_refresh()
+            blk = min(k, len(pairs) - i)
+            if self.net.cfg.grid_ray and self.renderer_state is not None \
+                    and interval > 0:
+                # stop at the next refresh boundary so the refresh schedule
+                # matches the stepwise loop exactly
+                blk = min(blk, interval - self.global_step % interval)
+            if warmup and self.global_step < warmup - 1:
+                # budget phases are jit constants: cut at the phase change
+                # (post-increment semantics: the step whose incremented
+                # count reaches `warmup` is the first post-warmup step)
+                blk = min(blk, (warmup - 1) - self.global_step)
+            chunk = pairs[i:i + blk]
+            idxs = jnp.asarray(np.array([c[0] for c in chunk], np.int32))
+            ckeys = jnp.stack([c[1] for c in chunk])
+            fn = self._scan_block_fn(ds, blk)
+            (self.params, self.opt_state, self.ema_params, self.key,
+             loss_sum) = fn(self.params, self.opt_state, self.ema_params,
+                            self.key, ckeys, idxs, ds._poses_dev,
+                            ds._images_flat, self.renderer_state)
+            self.global_step += blk
+            self.local_step += blk
+            i += blk
+            total_loss = loss_sum if total_loss is None \
+                else total_loss + loss_sum
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", float(loss_sum) / blk,
+                                       self.global_step)
+        avg = float(total_loss) / max(self.local_step, 1) \
+            if total_loss is not None else 0.0
         self.stats["loss"].append(avg)
         self.log(f"==> Finished Epoch {self.epoch}. avg loss {avg:.6f}")
         return avg

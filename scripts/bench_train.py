@@ -32,6 +32,9 @@ def main():
                          "sweep (corner8,pair,quad,cube,foldrow)")
     ap.add_argument("--budgets", default="16",
                     help="comma list of post-carve sample budgets per ray")
+    ap.add_argument("--steps-per-dispatch", type=int, default=16,
+                    help="block size for the fused lax.scan path "
+                         "(0 disables the fused measurement)")
     args = ap.parse_args()
 
     import jax
@@ -173,10 +176,51 @@ def main():
     fetch()
     dt_loader = (time.perf_counter() - t0) / args.steps
 
+    # fused multi-step path: k (collate + step) iterations per dispatch
+    # (trainer._scan_block_fn over lax.scan — identical trajectory,
+    # tests/test_trainer.py::test_fused_steps_match_stepwise)
+    dt_fused = float("nan")
+    k = args.steps_per_dispatch
+    if k > 0:
+        import jax.numpy as jnp
+        ds = train_loader._data
+        src_ids = (id(ds.poses), id(ds.images))
+        if getattr(ds, "_dev_cache_ids", None) != src_ids:
+            ds._poses_dev = jnp.asarray(ds.poses)
+            ds._images_flat = ds.images.reshape(
+                len(ds.poses), -1, ds.images.shape[-1])
+            ds._dev_cache_ids = src_ids
+        fn = trainer._scan_block_fn(ds, k)
+
+        def block_inputs(i):
+            idxs = jnp.asarray(
+                np.arange(i, i + k, dtype=np.int32) % len(ds.poses))
+            ckeys = jax.random.split(jax.random.PRNGKey(100 + i), k)
+            return ckeys, idxs
+
+        def run_block(i):
+            ckeys, idxs = block_inputs(i)
+            (trainer.params, trainer.opt_state, trainer.ema_params,
+             trainer.key, loss) = fn(
+                trainer.params, trainer.opt_state, trainer.ema_params,
+                trainer.key, ckeys, idxs, ds._poses_dev, ds._images_flat,
+                trainer.renderer_state)
+            return loss
+
+        np.asarray(run_block(0))                       # compile + fence
+        n_blocks_timed = max(1, args.steps // k)
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(n_blocks_timed):
+            loss = run_block(i + 1)
+        np.asarray(loss)
+        dt_fused = (time.perf_counter() - t0) / (n_blocks_timed * k)
+
     amort_full = t_full / args.interval
     amort_part = t_part / args.interval
     total_ms = (dt_step + amort_part) * 1e3
     total_loader_ms = (dt_loader + amort_part) * 1e3
+    total_fused_ms = (dt_fused + amort_part) * 1e3
     print(json.dumps({
         "ms_per_step_bare": round(dt_step * 1e3, 2),
         "bare_step_sweep_ms": sweep,
@@ -188,6 +232,9 @@ def main():
         "ms_per_step_with_refresh": round(total_ms, 2),
         "steps_per_s": round(1e3 / total_ms, 1),
         "steps_per_s_loader": round(1e3 / total_loader_ms, 1),
+        "ms_per_step_fused": round(dt_fused * 1e3, 2),
+        "steps_per_dispatch": k,
+        "steps_per_s_fused": round(1e3 / total_fused_ms, 1),
         "num_rays": args.num_rays,
     }), flush=True)
 

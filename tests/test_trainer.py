@@ -391,3 +391,63 @@ def test_render_mode_frame_paths(tmp_path):
         trainer.test(FrameLoader(), write_video=False)
         outs = list((tmp_path / f"wsrm_{mode}" / "results").glob("*.png"))
         assert len(outs) == 2, f"{mode}: expected rgb+depth PNGs, got {outs}"
+
+
+def test_fused_steps_match_stepwise(tmp_path):
+    """opt.steps_per_dispatch > 1 scans k (collate + step) iterations in
+    ONE jitted program (trainer._scan_block_fn). The key streams are split
+    in the same order as the stepwise loop, so the training trajectory
+    must match the per-step path: same final params, same loss sum.
+    Covers block cutting at refresh boundaries and at the warmup budget
+    phase change."""
+    import json as _json
+    cv2 = pytest.importorskip("cv2")
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models.network import NeRFNetwork
+    from nerfsafetyvalidation_tpu.data.provider import NeRFDataset
+
+    root = str(tmp_path / "scene")
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(6):
+        img = rng.integers(0, 255, (16, 16, 4)).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "train", f"r_{i}.png"), img)
+        pose = np.eye(4)
+        pose[2, 3] = 3.0 + i * 0.1
+        frames.append({"file_path": f"./train/r_{i}",
+                       "transform_matrix": pose.tolist()})
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        _json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+
+    def run(k):
+        opt = make_opt(path=root, preload=True, scale=0.5, offset=[0, 0, 0],
+                       bound=1.0, fp16=False, num_rays=32, rand_pose=-1,
+                       grid_max_samples=8, max_steps=64,
+                       update_extra_interval=4, grid_warmup_steps=5,
+                       grid_sample_budget_per_ray=8,
+                       grid_budget_after_warmup=4,
+                       grid_max_samples_after_warmup=8,
+                       steps_per_dispatch=k)
+        ds = NeRFDataset(opt, type="train")
+        loader = ds.dataloader(jax.random.PRNGKey(3))
+        cfg = NetworkConfig(num_levels=2, desired_resolution=32, bound=1.0,
+                            grid_ray=True, grid_size=16)
+        net = NeRFNetwork(cfg)
+        tr = Trainer("t", opt, net, workspace=None, use_checkpoint="scratch",
+                     mute=True)
+        losses = [tr.train_one_epoch(loader) for _ in range(2)]
+        return tr, losses
+
+    tr1, losses1 = run(1)
+    trk, lossesk = run(4)
+    assert trk.global_step == tr1.global_step == 12
+    np.testing.assert_allclose(lossesk, losses1, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.params),
+                    jax.tree_util.tree_leaves(trk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # the key streams advanced identically
+    np.testing.assert_array_equal(np.asarray(tr1.key), np.asarray(trk.key))
+    # grid refreshed on the same schedule
+    assert int(tr1.renderer_state.iter_density) == \
+        int(trk.renderer_state.iter_density)
