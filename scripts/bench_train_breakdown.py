@@ -91,6 +91,28 @@ def main():
 
     from nerfsafetyvalidation_tpu.ops.ray_ops import near_far_from_aabb
 
+    # ---- component ablations at the training sample count: encoder alone
+    # (fold build + gathers) and encoder+MLP, fwd and fwd+bwd — attributes
+    # the fwd/bwd gap between the march and the full step
+    M = N * args.budget
+    kx, kd = jax.random.split(jax.random.PRNGKey(2))
+    xyz = jax.random.uniform(kx, (M, 3), minval=-cfg.bound,
+                             maxval=cfg.bound)
+    dirs = jax.random.normal(kd, (M, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def enc_loss(p):
+        return jnp.mean(net.encode_pos(p, xyz) ** 2)
+
+    def apply_loss(p):
+        sig, rgb = net.apply(p, xyz, dirs)
+        return jnp.mean(sig ** 2) + jnp.mean(rgb ** 2)
+
+    timeit("enc_fwd", jax.jit(enc_loss), params)
+    timeit("enc_fwd+bwd", jax.jit(jax.grad(enc_loss)), params)
+    timeit("apply_fwd", jax.jit(apply_loss), params)
+    timeit("apply_fwd+bwd", jax.jit(jax.grad(apply_loss)), params)
+
     @jax.jit
     def march_only(ro, rd, key):
         nears, fars = near_far_from_aabb(ro, rd, aabb, cfg.min_near)

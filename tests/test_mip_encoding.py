@@ -163,3 +163,32 @@ def test_train_gather_modes_match_corner8(small_spec, mode):
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_foldrow_input_gradients(small_spec):
+    """foldrow's custom VJP (ops/mip_encoding.foldrow_dense_blend) must
+    return exact position gradients too — the planner differentiates
+    density w.r.t. positions, so the w8 cotangent cannot be dropped.
+    Checked against corner8 autodiff and central finite differences."""
+    spec = small_spec
+    params = mip_fold_init(jax.random.PRNGKey(0), spec, std=0.5)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-0.95, 0.95, (64, 3)), dtype=jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, spec.output_dim)),
+                    dtype=jnp.float32)
+
+    def loss(xx, mode):
+        return jnp.sum(mip_fold_encode(params, xx, spec,
+                                       train_gather=mode) * w)
+
+    gx = jax.grad(lambda xx: loss(xx, "foldrow"))(x)
+    gx_ref = jax.grad(lambda xx: loss(xx, "corner8"))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+    eps = 1e-4
+    for d in range(3):
+        xp = x.at[3, d].add(eps)
+        xm = x.at[3, d].add(-eps)
+        fd = (loss(xp, "foldrow") - loss(xm, "foldrow")) / (2 * eps)
+        np.testing.assert_allclose(float(gx[3, d]), float(fd),
+                                   rtol=5e-3, atol=1e-3)
