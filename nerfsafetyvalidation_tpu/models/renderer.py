@@ -893,7 +893,8 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                         prepass_net=None, prepass_params=None,
                         fine_order: str = "natural",
                         prepass_mode: str = "march",
-                        scout_samples: int = 64):
+                        scout_samples: int = 64,
+                        natural_tile_cap: int = 8192):
     """Two-pass frame render built around the measured gather wall
     (BENCH_NOTES "ceiling proof"): the per-cell DDA march — whose serial
     occupancy gathers dominate render time — runs only for a low-res
@@ -956,8 +957,10 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
         # (whole sky row-bands skip via the per-tile cond) instead of a
         # hit/miss partition — measured, the partition's 6 wide-row
         # permutation gathers + unpermute cost MORE than the shading they
-        # save (~100 ms at 640k rays; BENCH_NOTES "ceiling proof")
-        tile = min(tile, 8192)
+        # save (~100 ms at 640k rays; BENCH_NOTES "ceiling proof").
+        # natural_tile_cap trades sky-skip granularity against lax.map
+        # loop overhead (scripts/bench_tile_sweep.py measures the knee)
+        tile = min(tile, natural_tile_cap)
     n_tiles = (N + tile - 1) // tile
     Np = n_tiles * tile
 

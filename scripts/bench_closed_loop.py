@@ -101,10 +101,14 @@ def main():
             .reshape(x.shape[:-1])
 
     def render_rays_fn(rays_o, rays_d):
-        out = R.run_grid(net, fparams, state, rays_o.reshape(-1, 3),
-                         rays_d.reshape(-1, 3), max_samples=16,
-                         max_steps=512, bg_color=1.0, samples_per_hit=2)
-        return {"image": out["image"]}
+        # the estimator DIFFERENTIATES the measurement render w.r.t. the
+        # pose (closed_loop.py _estimate), so the obs chain must be the
+        # uniform fixed-shape renderer (reverse-mode safe), not the
+        # while-loop marcher — same choice as tests/test_closed_loop.py
+        # and the reference's fully-differentiable torch render.
+        # R.render takes [B, N, 3] — the engine passes (1, -1, 3).
+        return R.render(net, fparams, rays_o, rays_d, staged=False,
+                        bg_color=1.0, num_steps=32, upsample_steps=0)
 
     def planner_cfg(epochs):
         return {"T_final": 2.0, "steps": steps, "lr": 1e-3,
@@ -189,10 +193,11 @@ def run_sequential(args, obs_list, n_iter_list, epochs_list, start12,
     from nerfsafetyvalidation_tpu.validation.closed_loop import state12_to_18
 
     def render_fn(rays_o, rays_d):
-        out = R.run_grid(net, fparams, state, rays_o.reshape(-1, 3),
-                         rays_d.reshape(-1, 3), max_samples=16,
-                         max_steps=512, bg_color=1.0, samples_per_hit=2)
-        return {"image": out["image"]}
+        # differentiable obs chain — must match the engine path (the
+        # sequential Estimator also grads through render_fn); Estimator
+        # passes [B, N, 3] / get_rays dicts, R.render's native shape
+        return R.render(net, fparams, rays_o, rays_d, staged=False,
+                        bg_color=1.0, num_steps=32, upsample_steps=0)
 
     for obs in obs_list:
         s = obs / 800.0
