@@ -514,17 +514,21 @@ def main():
         def build(sc):
             scene = next(s for s in BENCH_SCENES if scenes[s] is sc)
             student, sparams = _student_k(sc, scene, k)
+            # tile 16384: scripts/bench_tile_sweep.py measured the
+            # lax.map knee — 137.7 ms/frame vs 179.9 at 8192 (same PSNR)
             return lambda ro, rd: R.render_frame_guided(
                 student, sparams, sc["state"], ro, rd, H, W,
-                prepass_factor=8, max_samples=k, tile=8192, max_steps=512,
-                dt_gamma=dt_gamma, prepass_mode="scout")["image"]
+                prepass_factor=8, max_samples=k, tile=16384, max_steps=512,
+                dt_gamma=dt_gamma, prepass_mode="scout",
+                natural_tile_cap=16384)["image"]
         return build
 
     def mode_guided(sc):
         return lambda ro, rd: R.render_frame_guided(
             sc["net"], sc["fparams"], sc["state"], ro, rd, H, W,
-            prepass_factor=8, max_samples=MAX_SAMPLES, tile=8192,
-            max_steps=512, dt_gamma=dt_gamma)["image"]
+            prepass_factor=8, max_samples=MAX_SAMPLES, tile=16384,
+            max_steps=512, dt_gamma=dt_gamma,
+            natural_tile_cap=16384)["image"]
 
     def mode_fast(sc):
         return lambda ro, rd: R.render_frame_fast(

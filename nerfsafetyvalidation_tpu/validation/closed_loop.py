@@ -68,7 +68,8 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                  end_state, knots0, initial_accel0, epochs_update=2,
                  planner_lr=1e-3, density_fn, robot_body,
                  fade_out_epoch=0, fade_out_sharpness=10.0,
-                 quantize_target=True, obs_render="pixels", mesh=None):
+                 quantize_target=True, obs_render="pixels", mesh=None,
+                 render_params=None):
         """start_state: [12] true start (rotvec form); end_state: [18]
         planner goal; knots0: [S, 4] initial plan knots (from a host-side
         `Planner.a_star_init` + `learn_init`, exactly as NerfSimulator.reset
@@ -80,6 +81,14 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         quantize_target: floor(img*255)/255 on the measurement target,
         matching the sequential loop's uint8 camera round-trip
         (NerfSimulator.py:115 -> estimator_helpers.py:85);
+        render_params: optional pytree of network/render parameters. When
+        given, render_rays_fn and density_fn are called as fn(params, ...)
+        and the pytree is threaded through the jit as an ARGUMENT instead
+        of being closure-captured — required for real checkpoints: a
+        captured fold/hash table becomes a baked HLO constant, which blows
+        past the remote-compile request limit on the tunneled TPU (the
+        same fix as FullBatchedRolloutEngine's run_impl(params, ...),
+        batched.py:601);
         obs_render: "pixels" (default) renders ONLY the fixed interest
         pixels as the measurement target — the TPU-native zero-waste form;
         "frame" renders the FULL obs_hw observation in-scan (the
@@ -111,6 +120,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         if obs_render not in ("pixels", "frame"):
             raise ValueError(f"unknown obs_render {obs_render!r}")
         self.obs_render = obs_render
+        self.render_params = render_params
         actions = jnp.zeros((int(steps), 4), jnp.float32)  # computed in-scan
         super().__init__(actions, dt, g, mass, I, sdf, sdf_start, granularity,
                          noise_mean, noise_std, start_state, mesh=mesh)
@@ -131,7 +141,19 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         return rays_for_pixels(self._obs_pose(state12), self.intrinsics,
                                self.fixed_coords)
 
-    def _target_pixels(self, state12):
+    def _render(self, rp, rays_o, rays_d):
+        """render_rays_fn dispatch: with render_params configured the
+        params pytree rides the jit as an argument (see __init__)."""
+        if self.render_params is None:
+            return self.render_rays_fn(rays_o, rays_d)
+        return self.render_rays_fn(rp, rays_o, rays_d)
+
+    def _density(self, rp, x):
+        if self.render_params is None:
+            return self.density_fn(x)
+        return self.density_fn(rp, x)
+
+    def _target_pixels(self, state12, rp):
         """Measurement target values at the interest pixels. "pixels"
         renders only those rays; "frame" renders the whole obs_hw image
         (the reference camera's full capture, NerfSimulator.py:113-115),
@@ -143,15 +165,15 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             H, W = self.obs_hw
             pose = self._obs_pose(state12)
             rays = get_rays(pose[None], self.intrinsics, H, W)
-            img = self.render_rays_fn(rays["rays_o"].reshape(1, -1, 3),
-                                      rays["rays_d"].reshape(1, -1, 3))
+            img = self._render(rp, rays["rays_o"].reshape(1, -1, 3),
+                               rays["rays_d"].reshape(1, -1, 3))
             img = img["image"].reshape(H, W, 3)
             if self.quantize_target:
                 img = jnp.floor(jnp.clip(img, 0.0, 1.0) * 255.0) / 255.0
             return img[self.fixed_coords[:, 0], self.fixed_coords[:, 1]]
         ro, rd = self._obs_rays(state12)
-        img = self.render_rays_fn(ro.reshape(1, -1, 3),
-                                  rd.reshape(1, -1, 3))["image"]
+        img = self._render(rp, ro.reshape(1, -1, 3),
+                           rd.reshape(1, -1, 3))["image"]
         target_vals = img.reshape(-1, 3)
         if self.quantize_target:
             target_vals = jnp.floor(
@@ -163,17 +185,17 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         _pose_from_state, estimator_helpers.py:199-208): same chain."""
         return self._obs_rays(state12)
 
-    def _measurement(self, state, prop_mean, sig_prop, target_vals):
+    def _measurement(self, state, prop_mean, sig_prop, target_vals, rp):
         """Photometric + dynamics-prior loss on the fixed pixel batch
         (estimator_helpers.py:191-225)."""
         loss_dyn = mahalanobis(state, prop_mean, sig_prop)
         ro, rd = self._est_rays(state)
-        out = self.render_rays_fn(ro.reshape(1, -1, 3), rd.reshape(1, -1, 3))
+        out = self._render(rp, ro.reshape(1, -1, 3), rd.reshape(1, -1, 3))
         rgb = out["image"].reshape(-1, 3)
         return jnp.mean((rgb - target_vals) ** 2) + loss_dyn
 
     # -------------------------------------------------------------- one step
-    def _estimate(self, xt, sig, action, target_vals):
+    def _estimate(self, xt, sig, action, target_vals, rp):
         """Propagate + N_iter Adam fit + Hessian posterior — the jitted form
         of Estimator.estimate_state (estimator_helpers.py:261-319)."""
         dyn = lambda x: drone_dynamics(x, action, self.dt, self.g, self.mass,
@@ -184,7 +206,8 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         A = jax.jacfwd(dyn)(xt_prop)
         sig_prop = A @ sig @ A.T + self.Q
 
-        meas = lambda s: self._measurement(s, xt_prop, sig_prop, target_vals)
+        meas = lambda s: self._measurement(s, xt_prop, sig_prop,
+                                           target_vals, rp)
         tx = optax.adam(self.est_lr, b1=0.9, b2=0.999)
         state0 = xt_prop + 1e-6                 # estimator_helpers.py:126
 
@@ -203,7 +226,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             sig_new = sig_prop
         return opt, sig_new
 
-    def _replan(self, knots, ia, start18):
+    def _replan(self, knots, ia, start18, rp):
         """Fresh-optimizer Adam block on the exact planner cost — the jitted
         learn_update (quad_plot.py:278-300 / nav/planner.py:_learn; the
         optimizer state is re-initialized per replan exactly as _learn
@@ -217,7 +240,8 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             def loss_fn(p):
                 total, _ = planner_cost_terms(
                     p["states"], p["initial_accel"], start18,
-                    self.end_state18, i, density_fn=self.density_fn,
+                    self.end_state18, i,
+                    density_fn=lambda x: self._density(rp, x),
                     dt=self.dt, g_vec=jnp.asarray([0.0, 0.0, -self.g]),
                     J=self.I, mass=self.mass, robot_body=self.robot_body,
                     fade_out_epoch=self.fade_out_epoch,
@@ -235,7 +259,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
     # ------------------------------------------------------------------ build
     def _build(self):
 
-        def sim_step(carry, noise_t_and_t):
+        def sim_step(rp, carry, noise_t_and_t):
             noise, t = noise_t_and_t
             true, xt, sig, knots, ia, done = carry
 
@@ -252,10 +276,11 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                                        self.mass, self.I, self.invI) + noise
 
             # 3. measurement target at the true pose (NerfSimulator.py:113-115)
-            target_vals = self._target_pixels(true_next)
+            target_vals = self._target_pixels(true_next, rp)
 
             # 4. estimator (estimator_helpers.py:261-319)
-            xt_new, sig_new = self._estimate(xt, sig, action, target_vals)
+            xt_new, sig_new = self._estimate(xt, sig, action, target_vals,
+                                             rp)
 
             # 5. planner update_state + learn_update (quad_plot.py:278-308):
             #    initial_accel from the OLD plan's actions[1:3, 0], then the
@@ -263,7 +288,8 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             ia_new = actions[1:3, 0]
             knots_shift = jnp.concatenate([knots[1:], knots[-1:]], axis=0)
             start18_new = state12_to_18(xt_new)
-            knots_new, ia_new = self._replan(knots_shift, ia_new, start18_new)
+            knots_new, ia_new = self._replan(knots_shift, ia_new,
+                                             start18_new, rp)
 
             # 6. 4-point interpolated SDF check (NerfSimulator.py:93-155)
             hit, sdf_val, pos = self._sdf_check_interp(true, true_next, t)
@@ -283,13 +309,13 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             return ((true_next, xt_new, sig_new, knots_new, ia_new,
                      done | collided_now), out)
 
-        def rollout(noises):
+        def rollout(noises, rp):
             """noises: [T, 12] -> one closed-loop simulation."""
             init = (self.start_state, self.start_state, self.sig0,
                     self.knots0, self.initial_accel0, jnp.asarray(False))
             ts = jnp.arange(self.steps)
             (_, _, _, _, _, ever), outs = jax.lax.scan(
-                sim_step, init, (noises, ts))
+                lambda c, x: sim_step(rp, c, x), init, (noises, ts))
             (true_states, est_states, actions, positions, sdf_vals,
              collided, logliks) = outs
             return {
@@ -304,8 +330,18 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                 "risk": jnp.min(sdf_vals),
             }
 
-        batched = jax.vmap(rollout)
-        return jax.jit(lambda noises: batched(noises))
+        batched = jax.vmap(rollout, in_axes=(0, None))
+        return jax.jit(lambda noises, rp: batched(noises, rp))
+
+    def run(self, noises):
+        """noises: [n_sims, T, 12] -> dict of batched rollout outputs.
+        render_params (if configured) ride as a jit argument — swapping
+        checkpoints between runs costs no recompile."""
+        noises = jnp.asarray(noises, dtype=jnp.float32)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            noises = shard_batch(noises, self.mesh, batch_axis=0)
+        return self._run(noises, self.render_params)
 
     # ------------------------------------------------------------------- API
     def monte_carlo(self, key, n_sims: int):

@@ -96,18 +96,21 @@ def main():
 
     rot = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
 
-    def density_fn(x):
-        return net.density(fparams, x.reshape((-1, 3)) @ rot)["sigma"] \
+    # params ride the engine jit as ARGUMENTS (render_params=fparams
+    # below): the 537 MB folded table as a closure constant blows past the
+    # tunneled remote-compile request limit (HTTP 413, caught 2026-08-19)
+    def density_fn(p, x):
+        return net.density(p, x.reshape((-1, 3)) @ rot)["sigma"] \
             .reshape(x.shape[:-1])
 
-    def render_rays_fn(rays_o, rays_d):
+    def render_rays_fn(p, rays_o, rays_d):
         # the estimator DIFFERENTIATES the measurement render w.r.t. the
         # pose (closed_loop.py _estimate), so the obs chain must be the
         # uniform fixed-shape renderer (reverse-mode safe), not the
         # while-loop marcher — same choice as tests/test_closed_loop.py
         # and the reference's fully-differentiable torch render.
         # R.render takes [B, N, 3] — the engine passes (1, -1, 3).
-        return R.render(net, fparams, rays_o, rays_d, staged=False,
+        return R.render(net, p, rays_o, rays_d, staged=False,
                         bg_color=1.0, num_steps=32, upsample_steps=0)
 
     def planner_cfg(epochs):
@@ -126,11 +129,13 @@ def main():
 
     if args.seq:
         run_sequential(args, obs_list, n_iter_list, epochs_list, start12,
-                       start18, end18, planner_cfg, density_fn, net,
+                       start18, end18, planner_cfg,
+                       lambda x: density_fn(fparams, x), net,
                        fparams, state, dt)
         return
 
-    planner0 = Planner(start18, end18, planner_cfg(2), density_fn)
+    density1 = lambda x: density_fn(fparams, x)   # host-side Planner form
+    planner0 = Planner(start18, end18, planner_cfg(2), density1)
     knots0 = np.asarray(planner0.states)
     ia0 = np.asarray(planner0.initial_accel)
 
@@ -151,7 +156,7 @@ def main():
                     est_lr=1e-3, filter=True, end_state=end18,
                     knots0=knots0, initial_accel0=ia0,
                     epochs_update=epochs, planner_lr=1e-3,
-                    density_fn=density_fn,
+                    density_fn=density_fn, render_params=fparams,
                     robot_body=planner0.robot_body,
                     obs_render=args.obs_render)
                 key = jax.random.PRNGKey(0)
