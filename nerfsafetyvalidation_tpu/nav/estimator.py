@@ -61,7 +61,8 @@ def find_POI(img_rgb, render=False):
 
 class Estimator:
     def __init__(self, filter_cfg, agent, start_state, filter=True,
-                 get_rays_fn=None, render_fn=None, render_batch_fn=None):
+                 get_rays_fn=None, render_fn=None, render_batch_fn=None,
+                 render_params=None):
         self.batch_size = filter_cfg["batch_size"]
         self.kernel_size = filter_cfg["kernel_size"]
         self.dil_iter = filter_cfg["dil_iter"]
@@ -91,6 +92,14 @@ class Estimator:
         # needs a traceable renderer; full-frame render_from_pose can stay
         # host-staged. Defaults to render_fn for API compatibility.
         self.render_batch_fn = render_batch_fn or render_fn
+        # Optional network-params pytree. When given, render_batch_fn is
+        # called as fn(params, rays_o, rays_d) and the pytree rides the
+        # jitted Adam fit as an ARGUMENT: closure-capturing a big trained
+        # table (e.g. the flagship's 537 MB folded volume) bakes it into
+        # the HLO as constants, which exceeds the tunneled remote-compile
+        # request limit (HTTP 413) — same contract as
+        # validation/closed_loop.py render_params.
+        self.render_params = render_params
 
         self.losses = None
         self.covariance = None
@@ -112,17 +121,23 @@ class Estimator:
         new_pose = new_pose.at[:3, 3].set(trans)
         return new_pose
 
-    def measurement_fn(self, state, start_state, sig, target, batch):
+    def measurement_fn(self, state, start_state, sig, target, batch,
+                       rp=None):
         """Photometric + dynamics-prior loss (estimator_helpers.py:191-225).
-        target: [H, W, 3] float; batch: [B, 2] integer pixel coords."""
+        target: [H, W, 3] float; batch: [B, 2] integer pixel coords;
+        rp: the render_params pytree when configured (see __init__)."""
         loss_dyn = mahalanobis(state, start_state, sig)
         H, W = target.shape[0], target.shape[1]
         new_pose = self._pose_from_state(state)
         rays = self.get_rays(new_pose.reshape((1, 4, 4)))
         rays_o = rays["rays_o"].reshape((H, W, -1))[batch[:, 0], batch[:, 1]]
         rays_d = rays["rays_d"].reshape((H, W, -1))[batch[:, 0], batch[:, 1]]
-        output = self.render_batch_fn(rays_o.reshape((1, -1, 3)),
-                                      rays_d.reshape((1, -1, 3)))
+        if self.render_params is None:
+            output = self.render_batch_fn(rays_o.reshape((1, -1, 3)),
+                                          rays_d.reshape((1, -1, 3)))
+        else:
+            output = self.render_batch_fn(rp, rays_o.reshape((1, -1, 3)),
+                                          rays_d.reshape((1, -1, 3)))
         rgb = output["image"].reshape((-1, 3))
         tgt = target[batch[:, 0], batch[:, 1]]
         loss_rgb = jnp.mean((rgb - tgt) ** 2)
@@ -156,13 +171,13 @@ class Estimator:
         n_iter = self.iter
 
         @jax.jit
-        def fit(state0, start_state, sig, target, batch):
+        def fit(state0, start_state, sig, target, batch, rp):
             opt_state = tx.init(state0)
 
             def body(i, carry):
                 state, opt_state, losses = carry
                 loss, grads = jax.value_and_grad(self.measurement_fn)(
-                    state, start_state, sig, target, batch)
+                    state, start_state, sig, target, batch, rp)
                 updates, opt_state = tx.update(grads, opt_state, state)
                 state = optax.apply_updates(state, updates)
                 losses = losses.at[i].set(loss)
@@ -189,7 +204,8 @@ class Estimator:
                 self._fit = self._build_fit()
             optimized, losses = self._fit(optimized0,
                                           jnp.asarray(start_state),
-                                          sig, target, batch)
+                                          sig, target, batch,
+                                          self.render_params)
             self.target = target
             self.batch = batch
             self.losses = np.asarray(losses).tolist()
@@ -234,7 +250,8 @@ class Estimator:
         if self._fit is None:
             self._fit = self._build_fit()
         optimized, losses = self._fit(optimized0, jnp.asarray(start_state),
-                                      sig, target, batch)
+                                      sig, target, batch,
+                                      self.render_params)
 
         if obs_img_pose is not None:
             pose = np.eye(4)
@@ -267,7 +284,9 @@ class Estimator:
             hess = jax.hessian(
                 lambda x: self.measurement_fn(x, jnp.asarray(self.xt),
                                               sig_prop, self.target,
-                                              self.batch))(jnp.asarray(xt))
+                                              self.batch,
+                                              self.render_params))(
+                jnp.asarray(xt))
             self.sig = jnp.linalg.inv(hess)
 
         self.xt = xt

@@ -143,8 +143,18 @@ def planner_cost_terms(states, initial_accel, start_state, end_state, epoch,
 
 
 class Planner:
-    def __init__(self, start_state, end_state, cfg, density_fn):
+    def __init__(self, start_state, end_state, cfg, density_fn,
+                 density_params=None):
+        """density_params: optional pytree of network parameters. When
+        given, density_fn is called as fn(params, x) and the pytree rides
+        the jitted replan block as an ARGUMENT — a closure-captured
+        trained table (e.g. the flagship's 537 MB folded volume) bakes
+        into the HLO as constants and exceeds the tunneled remote-compile
+        request limit (HTTP 413). Same contract as closed_loop.py /
+        estimator.py render_params. Swapping checkpoints between runs
+        then reuses the compiled block."""
         self.nerf = density_fn
+        self.density_params = density_params
         self.cfg = cfg
         self.T_final = cfg["T_final"]
         self.steps = cfg["steps"]
@@ -202,13 +212,18 @@ class Planner:
     def params(self):
         return {"states": self.states, "initial_accel": self.initial_accel}
 
+    def _density(self, x, dp=None):
+        if self.density_params is None:
+            return self.nerf(x)
+        return self.nerf(self.density_params if dp is None else dp, x)
+
     # --------------------------------------------------------------- A* init
     def a_star_init(self, side: int = 100, kernel_size: int = 5):
         """quad_plot.py:63-114."""
         lin = np.linspace(-1, 1, side, dtype=np.float32)
         gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
         coods = jnp.asarray(np.stack([gx, gy, gz], axis=-1))
-        output = np.asarray(self.nerf(coods))
+        output = np.asarray(self._density(coods))
         gs = side // kernel_size
         occupied = output.reshape(gs, kernel_size, gs, kernel_size, gs,
                                   kernel_size).max(axis=(1, 3, 5)) > 0.3
@@ -239,12 +254,14 @@ class Planner:
         return calc_everything(states, ia, self.start_state, self.end_state,
                                self.dt, self.g, self.J, self.mass)
 
-    def _cost_terms(self, states, ia, epoch, start_state=None, end_state=None):
+    def _cost_terms(self, states, ia, epoch, start_state=None,
+                    end_state=None, dp=None):
         start_state = self.start_state if start_state is None else start_state
         end_state = self.end_state if end_state is None else end_state
         return planner_cost_terms(
             states, ia, start_state, end_state, epoch,
-            density_fn=self.nerf, dt=self.dt, g_vec=self.g, J=self.J,
+            density_fn=lambda x: self._density(x, dp),
+            dt=self.dt, g_vec=self.g, J=self.J,
             mass=self.mass, robot_body=self.robot_body,
             fade_out_epoch=self.fade_out_epoch,
             fade_out_sharpness=self.fade_out_sharpness)
@@ -261,14 +278,16 @@ class Planner:
         tx = optax.adam(self.lr)
 
         @jax.jit
-        def block(params, opt_state, epoch0, n_steps, start_state, end_state):
+        def block(params, opt_state, epoch0, n_steps, start_state,
+                  end_state, dp):
             def body(i, carry):
                 params, opt_state = carry
                 def loss_fn(p):
                     total, _ = self._cost_terms(p["states"],
                                                 p["initial_accel"],
                                                 epoch0 + i,
-                                                start_state, end_state)
+                                                start_state, end_state,
+                                                dp=dp)
                     return jnp.mean(total)
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -306,7 +325,8 @@ class Planner:
                                 f"{tag}_costs" / (suffix + ".json"))
             self.epoch = done
             params, opt_state = block(params, opt_state, jnp.asarray(done),
-                                      n, self.start_state, self.end_state)
+                                      n, self.start_state, self.end_state,
+                                      self.density_params)
             self.states = params["states"]
             self.initial_accel = params["initial_accel"]
             done += n

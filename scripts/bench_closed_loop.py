@@ -129,8 +129,7 @@ def main():
 
     if args.seq:
         run_sequential(args, obs_list, n_iter_list, epochs_list, start12,
-                       start18, end18, planner_cfg,
-                       lambda x: density_fn(fparams, x), net,
+                       start18, end18, planner_cfg, density_fn, net,
                        fparams, state, dt)
         return
 
@@ -200,8 +199,16 @@ def run_sequential(args, obs_list, n_iter_list, epochs_list, start12,
     def render_fn(rays_o, rays_d):
         # differentiable obs chain — must match the engine path (the
         # sequential Estimator also grads through render_fn); Estimator
-        # passes [B, N, 3] / get_rays dicts, R.render's native shape
+        # passes [B, N, 3] / get_rays dicts, R.render's native shape.
+        # Eager full-frame form (render_from_pose) — closure params fine.
         return R.render(net, fparams, rays_o, rays_d, staged=False,
+                        bg_color=1.0, num_steps=32, upsample_steps=0)
+
+    def render_batch_p(p, rays_o, rays_d):
+        # jitted-measurement form: params ride the Estimator fit as an
+        # ARGUMENT (render_params below) — closure-captured folded tables
+        # exceed the tunneled remote-compile request limit (HTTP 413)
+        return R.render(net, p, rays_o, rays_d, staged=False,
                         bg_color=1.0, num_steps=32, upsample_steps=0)
 
     for obs in obs_list:
@@ -228,8 +235,12 @@ def run_sequential(args, obs_list, n_iter_list, epochs_list, start12,
                 est = Estimator(filter_cfg, agent, start12,
                                 get_rays_fn=get_rays_fn,
                                 render_fn=render_fn,
-                                render_batch_fn=render_fn)
-                planner = Planner(start18, end18, pcfg, density_fn)
+                                render_batch_fn=render_batch_p,
+                                render_params=fparams)
+                # density params ride the jitted replan block as an
+                # argument (Planner density_params) — see the 413 note
+                planner = Planner(start18, end18, pcfg, density_fn,
+                                  density_params=fparams)
                 rng = np.random.default_rng(7)
                 t0 = time.perf_counter()
                 t_first = None
