@@ -506,7 +506,7 @@ def main():
             sc["students"][k] = (student_r, sparams)
         return sc["students"][k]
 
-    def mode_baked_k(k):
+    def mode_baked_k(k, scout_samples=64):
         # gather-free end to end: student scout prepass fused into the
         # fine jit (prepass_mode="scout") + raster-order tiles; the
         # sigma+color chain is XLA-fused dense matmuls (BENCH_FUSED=1
@@ -520,6 +520,7 @@ def main():
                 student, sparams, sc["state"], ro, rd, H, W,
                 prepass_factor=8, max_samples=k, tile=16384, max_steps=512,
                 dt_gamma=dt_gamma, prepass_mode="scout",
+                scout_samples=scout_samples,
                 natural_tile_cap=16384)["image"]
         return build
 
@@ -537,12 +538,18 @@ def main():
             samples_per_hit=2, dt_gamma=dt_gamma)["image"]
 
     mode_order = os.environ.get(
-        "BENCH_MODES", "baked,baked12,baked8,guided,fast").split(",")
+        "BENCH_MODES",
+        "baked,baked_s32,baked12,baked8,guided,fast").split(",")
     builders = {"baked": mode_baked_k(MAX_SAMPLES), "guided": mode_guided,
                 "fast": mode_fast, "baked8": mode_baked_k(8),
-                "baked12": mode_baked_k(12)}
+                "baked12": mode_baked_k(12),
+                # halved scout: +5% in the tile sweep at -0.2 dB — ships
+                # only if it clears BOTH scene gates like any other mode
+                "baked_s32": mode_baked_k(MAX_SAMPLES, scout_samples=32)}
     labels = {
         "baked": "distilled gather-free student, depth-guided windows",
+        "baked_s32": "distilled gather-free student, depth-guided windows, "
+                     "32-sample scout",
         "baked8": "distilled gather-free student, depth-guided windows, K=8",
         "baked12": "distilled gather-free student, depth-guided windows, "
                    "K=12",
