@@ -60,6 +60,16 @@ def main():
                     help="run the sequential comparator instead")
     ap.add_argument("--obs-render", default="frame",
                     choices=["frame", "pixels"])
+    ap.add_argument("--cem", action="store_true",
+                    help="run a CLOSED-LOOP CEM sweep (kmax x m) through "
+                         "the engine at each config — the reference's CEM "
+                         "semantics, where every rollout steps the full "
+                         "simulator incl. estimator+replan "
+                         "(CrossEntropyMethod.py:79-198 via "
+                         "NerfSimulator.step)")
+    ap.add_argument("--m", type=int, default=10)
+    ap.add_argument("--m-elite", type=int, default=3)
+    ap.add_argument("--kmax", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -159,6 +169,32 @@ def main():
                     robot_body=planner0.robot_body,
                     obs_render=args.obs_render)
                 key = jax.random.PRNGKey(0)
+                if args.cem:
+                    # warm the compile with one m-rollout round, then the
+                    # timed closed-loop CEM sweep (inherits the base CEM
+                    # host loop: full-cov Cholesky proposals + exact
+                    # sequential proposal update; risk = min SDF)
+                    zw = eng.sample_noises(key, args.m)
+                    t0 = time.perf_counter()
+                    out = eng.run(zw)
+                    _ = np.asarray(out["risk"].ravel()[:1])
+                    compile_s = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    res = eng.cem(jax.random.PRNGKey(1), m=args.m,
+                                  m_elite=args.m_elite, kmax=args.kmax)
+                    wall = time.perf_counter() - t0
+                    n_roll = args.kmax * args.m
+                    print(json.dumps({
+                        "mode": "closed_loop_cem", "obs": obs,
+                        "n_iter": n_iter, "epochs": epochs,
+                        "m": args.m, "m_elite": args.m_elite,
+                        "kmax": args.kmax, "steps": args.steps,
+                        "compile_s": round(compile_s, 1),
+                        "cem_wall_s": round(wall, 2),
+                        "s_per_rollout": round(wall / n_roll, 3),
+                        "history": res["history"],
+                    }), flush=True)
+                    continue
                 z = eng.sample_noises(key, args.sims)
                 t0 = time.perf_counter()
                 out = eng.run(z)
