@@ -537,9 +537,13 @@ def main():
             tile=TILE, max_samples=MAX_SAMPLES, max_steps=512,
             samples_per_hit=2, dt_gamma=dt_gamma)["image"]
 
+    # default order: the three gate-passing paths. The documented-fail
+    # candidates (baked12/baked8/baked_s32 — see BENCH_NOTES, each fails
+    # the gauntlet gate) stay runnable via BENCH_MODES but are excluded
+    # by default: scoring them costs ~2-4 cold-compile minutes each and
+    # they never become the headline.
     mode_order = os.environ.get(
-        "BENCH_MODES",
-        "baked,baked_s32,baked12,baked8,guided,fast").split(",")
+        "BENCH_MODES", "baked,guided,fast").split(",")
     builders = {"baked": mode_baked_k(MAX_SAMPLES), "guided": mode_guided,
                 "fast": mode_fast, "baked8": mode_baked_k(8),
                 "baked12": mode_baked_k(12),
