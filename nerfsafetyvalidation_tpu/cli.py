@@ -115,6 +115,16 @@ def build_parser(entry: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--closed_loop_obs_res", type=int, default=32,
                         help="measurement-pixel grid resolution for the "
                              "in-scan estimator (fixed interest mask)")
+    parser.add_argument("--closed_loop_uq", type=str, default="auto",
+                        choices=["auto", "none", "gaussian", "laplace"],
+                        help="with --closed_loop: also compute the "
+                             "uncertainty-masked reward per step (the "
+                             "reference's complete NerfSimulator.step — "
+                             "estimate + replan + UQ reward) by composing "
+                             "a FullBatchedRolloutEngine obs chain at "
+                             "--batched_obs_res. 'auto' follows "
+                             "envConfig's uq_method; 'none' skips the "
+                             "reward (risk = plain min-SDF)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard ray batches over all local devices")
     return parser

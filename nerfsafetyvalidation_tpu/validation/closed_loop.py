@@ -34,6 +34,8 @@ closed-loop simulations compiles once and runs as one device program —
 the TPU-native form of validation/simulators/NerfSimulator.py:66-155.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -69,7 +71,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                  planner_lr=1e-3, density_fn, robot_body,
                  fade_out_epoch=0, fade_out_sharpness=10.0,
                  quantize_target=True, obs_render="pixels", mesh=None,
-                 render_params=None):
+                 render_params=None, uq_engine=None):
         """start_state: [12] true start (rotvec form); end_state: [18]
         planner goal; knots0: [S, 4] initial plan knots (from a host-side
         `Planner.a_star_init` + `learn_init`, exactly as NerfSimulator.reset
@@ -89,6 +91,16 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         past the remote-compile request limit on the tunneled TPU (the
         same fix as FullBatchedRolloutEngine's run_impl(params, ...),
         batched.py:601);
+        uq_engine: optional FullBatchedRolloutEngine. When given, every
+        closed-loop step ALSO renders the observation through the UQ
+        engine's obs chain and computes the uncertainty-masked reward
+        (Gaussian or Laplace per uq_engine.uq_method) — the reference's
+        COMPLETE NerfSimulator.step semantics (NerfSimulator.py:66-181:
+        estimate + replan + UQ reward per step), previously split between
+        the two engines. Outputs gain "sigma_d" and "reward" columns and
+        `cem()` applies the reference's reward-scaled risk adjustment
+        (CEM.py:110-122). The UQ engine's params/renderer_state ride the
+        jit as arguments (same 413 discipline);
         obs_render: "pixels" (default) renders ONLY the fixed interest
         pixels as the measurement target — the TPU-native zero-waste form;
         "frame" renders the FULL obs_hw observation in-scan (the
@@ -121,6 +133,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             raise ValueError(f"unknown obs_render {obs_render!r}")
         self.obs_render = obs_render
         self.render_params = render_params
+        self.uq_engine = uq_engine
         actions = jnp.zeros((int(steps), 4), jnp.float32)  # computed in-scan
         super().__init__(actions, dt, g, mass, I, sdf, sdf_start, granularity,
                          noise_mean, noise_std, start_state, mesh=mesh)
@@ -257,9 +270,30 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         return params["states"], params["initial_accel"]
 
     # ------------------------------------------------------------------ build
+    def _uq_reward(self, true_next, loglik, key_sim, t):
+        """Observation UQ + safety-masked reward through the composed
+        FullBatchedRolloutEngine (NerfSimulator.py:159-181). Called inside
+        the traced step with the UQ engine's params already swapped to the
+        jit arguments (see run_impl)."""
+        uq = self.uq_engine
+        key_t = jax.random.fold_in(key_sim, t)
+        obs = uq._render_obs(true_next)
+        if uq.uq_method == "laplace":
+            trace_v, rmv = uq._laplace_uq(key_t, obs["rays_o"],
+                                          obs["rays_d"], obs["agg"])
+            return rmv, uq._reward_laplace(loglik, rmv, trace_v)
+        if "moments" in obs:
+            n_samp = obs["rays_o"].shape[0] * obs["K"]
+            _, sigma_d = uq._gaussian_uq_from_moments(
+                obs["moments"], obs["image"], float(n_samp))
+        else:
+            _, sigma_d = uq._gaussian_uq(obs["rgbs"], obs["sigmas"],
+                                         obs["image"])
+        return sigma_d, uq._reward(loglik, sigma_d)
+
     def _build(self):
 
-        def sim_step(rp, carry, noise_t_and_t):
+        def sim_step(rp, key_sim, carry, noise_t_and_t):
             noise, t = noise_t_and_t
             true, xt, sig, knots, ia, done = carry
 
@@ -304,20 +338,27 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             ia_new = keep(ia_new, ia)
 
             loglik = self._log_likelihood(noise)
+            if self.uq_engine is not None:
+                sigma_d, reward = self._uq_reward(true_next, loglik,
+                                                  key_sim, t)
+            else:
+                sigma_d = jnp.asarray(0.0)
+                reward = jnp.asarray(0.0)
             out = (true_next, xt_new, action, pos, sdf_val, collided_now,
-                   loglik)
+                   loglik, sigma_d, reward)
             return ((true_next, xt_new, sig_new, knots_new, ia_new,
                      done | collided_now), out)
 
-        def rollout(noises, rp):
+        def rollout(noises, rp, key_sim):
             """noises: [T, 12] -> one closed-loop simulation."""
             init = (self.start_state, self.start_state, self.sig0,
                     self.knots0, self.initial_accel0, jnp.asarray(False))
             ts = jnp.arange(self.steps)
             (_, _, _, _, _, ever), outs = jax.lax.scan(
-                lambda c, x: sim_step(rp, c, x), init, (noises, ts))
+                lambda c, x: sim_step(rp, key_sim, c, x), init,
+                (noises, ts))
             (true_states, est_states, actions, positions, sdf_vals,
-             collided, logliks) = outs
+             collided, logliks, sigmas, rewards) = outs
             return {
                 "true_states": true_states,      # [T, 12]
                 "est_states": est_states,        # [T, 12]
@@ -327,28 +368,131 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                 "collided": collided,            # [T]
                 "ever_collided": ever,           # []
                 "log_likelihoods": logliks,      # [T]
+                "sigma_d": sigmas,               # [T] (0 without uq_engine)
+                "reward": rewards,               # [T] (0 without uq_engine)
                 "risk": jnp.min(sdf_vals),
             }
 
-        batched = jax.vmap(rollout, in_axes=(0, None))
-        return jax.jit(lambda noises, rp: batched(noises, rp))
+        batched = jax.vmap(rollout, in_axes=(0, None, 0))
+        uq = self.uq_engine
 
-    def run(self, noises):
+        def run_impl(noises, rp, uqp, uqst, keys):
+            if uq is None:
+                return batched(noises, rp, keys)
+            # swap the UQ engine's tables for the traced arguments so its
+            # _render_obs/_laplace_uq see arrays, not baked HLO constants
+            old = uq.params, uq.renderer_state
+            uq.params, uq.renderer_state = uqp, uqst
+            try:
+                return batched(noises, rp, keys)
+            finally:
+                uq.params, uq.renderer_state = old
+
+        return jax.jit(run_impl)
+
+    def run(self, noises, uq_key=None):
         """noises: [n_sims, T, 12] -> dict of batched rollout outputs.
-        render_params (if configured) ride as a jit argument — swapping
-        checkpoints between runs costs no recompile."""
+        render_params / the UQ engine's tables ride as jit arguments —
+        swapping checkpoints between runs costs no recompile. uq_key seeds
+        the Laplace branch's per-(sim, step) random inits."""
         noises = jnp.asarray(noises, dtype=jnp.float32)
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
             noises = shard_batch(noises, self.mesh, batch_axis=0)
-        return self._run(noises, self.render_params)
+        n = noises.shape[0]
+        key = jax.random.PRNGKey(0) if uq_key is None else uq_key
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(n))
+        uqp = self.uq_engine.params if self.uq_engine is not None else None
+        uqst = self.uq_engine.renderer_state \
+            if self.uq_engine is not None else None
+        return self._run(noises, self.render_params, uqp, uqst, keys)
+
+    def cem(self, key, m: int, m_elite: int, kmax: int, csv_path=None):
+        """CLOSED-LOOP CEM: the reference's CEM semantics end to end —
+        every rollout steps the full simulator (estimate + replan + UQ
+        reward) and the risk carries the reward-scaled adjustment
+        (CEM.py:110-122) when a uq_engine is composed. Proposals are
+        full-covariance Cholesky with the exact sequential update;
+        csv_path appends the 27-column reference schema
+        (CrossEntropyMethod.py:173-189)."""
+        import csv
+        from .batched import _cem_proposal_update
+        means = np.broadcast_to(np.asarray(self.noise_mean),
+                                (self.steps, 12)).copy()
+        covs = np.broadcast_to(np.diag(np.asarray(self.noise_std) ** 2),
+                               (self.steps, 12, 12)).copy()
+        p_mean, p_cov = means.copy(), covs.copy()
+        history = []
+        for k in range(kmax):
+            key, sub, kuq = jax.random.split(key, 3)
+            noises = self.sample_noises(sub, m, jnp.asarray(means),
+                                        covs=jnp.asarray(covs))
+            out = {kk: np.asarray(v)
+                   for kk, v in self.run(noises, uq_key=kuq).items()}
+            nz = np.asarray(noises)
+            # reward-scaled collision value (CEM.py:110-122); without a
+            # uq_engine reward is 0 and adj == sdf (plain min-SDF risk)
+            adj = out["sdf_vals"] - out["reward"] * 0.01 * out["sdf_vals"]
+            risks = np.empty(m)
+            for i in range(m):
+                T_i = self.steps
+                if out["collided"][i].any():
+                    T_i = int(np.argmax(out["collided"][i])) + 1
+                risks[i] = adj[i, :T_i].min()
+
+            if csv_path is not None:
+                os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+                lp_steps = np.stack([self._mvn_logpdf(
+                    nz[:, t], p_mean[t], p_cov[t])
+                    for t in range(self.steps)], axis=1)
+                lq_steps = np.stack([self._mvn_logpdf(
+                    nz[:, t], means[t], covs[t])
+                    for t in range(self.steps)], axis=1)
+                lp_cum = np.cumsum(lp_steps, axis=1)
+                lq_cum = np.cumsum(lq_steps, axis=1)
+                # reward_prev = previous step's reward (CSV semantics)
+                r_prev = np.concatenate(
+                    [np.zeros((m, 1)), out["reward"][:, :-1]], axis=1)
+                with open(csv_path, "a", newline="") as f:
+                    w = csv.writer(f)
+                    for i in range(m):
+                        ever = bool(out["collided"][i].any())
+                        for t in range(self.steps):
+                            row = [k, i, t]
+                            row.extend(nz[i, t].tolist())
+                            row.append(float(r_prev[i, t]))
+                            row.append(float(out["sigma_d"][i, t]))
+                            row.append(float(adj[i, t]))
+                            row.extend(out["positions"][i, t].tolist())
+                            row.append(float(lp_steps[i, t]))
+                            row.append(float(lq_steps[i, t]))
+                            row.append(float(lp_cum[i, t]))
+                            row.append(float(lq_cum[i, t]))
+                            row.append(bool(out["collided"][i, t]))
+                            row.append(ever)
+                            w.writerow(row)
+                            if out["collided"][i, t]:
+                                break
+
+            elite_idx = np.argsort(risks)[:m_elite]
+            means, covs = _cem_proposal_update(nz[elite_idx], means, covs,
+                                               p_mean, p_cov)
+            history.append({
+                "mean_risk": float(risks.mean()),
+                "elite_risk": float(risks[elite_idx].mean()),
+                "collision_rate": float(out["collided"].any(1).mean()),
+            })
+        return {"means": means, "covs": covs,
+                "vars": np.stack([np.diag(c) for c in covs]),
+                "history": history}
 
     # ------------------------------------------------------------------- API
     def monte_carlo(self, key, n_sims: int):
         """Batched closed-loop MC sweep (the NerfSimulator MC configuration,
         MonteCarlo.py:38-93 with the estimate/replan loop live)."""
+        key, kuq = jax.random.split(key)
         noises = self.sample_noises(key, n_sims)
-        out = self.run(noises)
+        out = self.run(noises, uq_key=kuq)
         ever = np.asarray(out["ever_collided"])
         return {
             "noises": np.asarray(noises),

@@ -70,6 +70,17 @@ def main():
     ap.add_argument("--m", type=int, default=10)
     ap.add_argument("--m-elite", type=int, default=3)
     ap.add_argument("--kmax", type=int, default=5)
+    ap.add_argument("--uq", default="none",
+                    choices=["none", "gaussian", "laplace"],
+                    help="compose a FullBatchedRolloutEngine obs chain so "
+                         "every closed-loop step ALSO computes the "
+                         "uncertainty-masked reward — the COMPLETE "
+                         "NerfSimulator.step (NerfSimulator.py:66-181); "
+                         "with --cem the risk carries the reward-scaled "
+                         "adjustment (CEM.py:110-122)")
+    ap.add_argument("--uq-obs-render", default="uniform",
+                    choices=["uniform", "scout"],
+                    help="the UQ engine's in-scan observation path")
     args = ap.parse_args()
 
     import jax
@@ -153,6 +164,21 @@ def main():
         s = obs / 800.0
         intr = (1111.0 * s, 1111.0 * s, obs / 2.0, obs / 2.0)
         coords = interest_coords(obs, obs)
+        uq_engine = None
+        if args.uq != "none":
+            from nerfsafetyvalidation_tpu.validation.batched import (
+                FullBatchedRolloutEngine)
+            uq_engine = FullBatchedRolloutEngine(
+                actions=np.zeros((steps, 4), np.float32), dt=dt, g=10.0,
+                mass=1.0, I=np.eye(3), sdf=sdf,
+                sdf_start=[-1.4, -1.3, -0.1], granularity=40,
+                noise_mean=np.zeros(12), noise_std=np.full(12, 0.01),
+                start_state=start12, net=net, params=fparams,
+                obs_res=obs, base_res=800, render_steps=32,
+                obs_render=args.uq_obs_render, uq_method=args.uq,
+                renderer_state=(state if args.uq_obs_render == "scout"
+                                else None),
+                uq_iters=20)
         for n_iter in n_iter_list:
             for epochs in epochs_list:
                 eng = ClosedLoopBatchedEngine(
@@ -167,7 +193,7 @@ def main():
                     epochs_update=epochs, planner_lr=1e-3,
                     density_fn=density_fn, render_params=fparams,
                     robot_body=planner0.robot_body,
-                    obs_render=args.obs_render)
+                    obs_render=args.obs_render, uq_engine=uq_engine)
                 key = jax.random.PRNGKey(0)
                 if args.cem:
                     # warm the compile with one m-rollout round, then the
@@ -185,7 +211,7 @@ def main():
                     wall = time.perf_counter() - t0
                     n_roll = args.kmax * args.m
                     print(json.dumps({
-                        "mode": "closed_loop_cem", "obs": obs,
+                        "mode": "closed_loop_cem", "uq": args.uq, "obs": obs,
                         "n_iter": n_iter, "epochs": epochs,
                         "m": args.m, "m_elite": args.m_elite,
                         "kmax": args.kmax, "steps": args.steps,
@@ -206,7 +232,8 @@ def main():
                     _ = np.asarray(out["risk"].ravel()[:1])
                 sweep = (time.perf_counter() - t0) / args.iters
                 print(json.dumps({
-                    "obs": obs, "n_iter": n_iter, "epochs": epochs,
+                    "uq": args.uq, "obs": obs, "n_iter": n_iter,
+                    "epochs": epochs,
                     "sims": args.sims, "steps": steps,
                     "obs_render": args.obs_render,
                     "compile_s": round(t_first - sweep, 1),

@@ -121,7 +121,7 @@ def run_sequential(stack, noises, n_iter=3):
 
 
 def make_engine(stack, knots0, ia0, quantize=True, n_iter=3,
-                t_steps=T_STEPS, obs_render="pixels"):
+                t_steps=T_STEPS, obs_render="pixels", uq_engine=None):
     net, params, intrinsics, get_rays_fn, render_fn, density_fn = stack
     start12, start18, end18, planner_cfg, filter_cfg, coords = make_cfgs(
         n_iter=n_iter)
@@ -140,7 +140,7 @@ def make_engine(stack, knots0, ia0, quantize=True, n_iter=3,
         epochs_update=planner_cfg["epochs_update"],
         planner_lr=planner_cfg["lr"], density_fn=density_fn,
         robot_body=planner.robot_body, quantize_target=quantize,
-        obs_render=obs_render)
+        obs_render=obs_render, uq_engine=uq_engine)
 
 
 def test_fixed_pixel_rays_match_full_grid(stack):
@@ -257,3 +257,75 @@ def test_closed_loop_population(stack):
     mc = eng.monte_carlo(jax.random.PRNGKey(1), 2)
     assert 0.0 <= mc["collision_rate"] <= 1.0
     assert mc["true_states"].shape == (2, T_STEPS, 12)
+
+
+def fresh_plan(stack):
+    """Default linear-interp plan from a fresh Planner (the
+    test_closed_loop_population pattern)."""
+    _, _, _, _, render_fn, density_fn = stack
+    start12, start18, end18, planner_cfg, _, _ = make_cfgs()
+    planner = Planner(start18, end18, planner_cfg, density_fn)
+    return np.asarray(planner.states), np.asarray(planner.initial_accel)
+
+
+def make_uq_engine(stack, t_steps=T_STEPS, uq_method="gaussian"):
+    net, params, intrinsics, get_rays_fn, render_fn, density_fn = stack
+    sdf, sdf_start, gran = free_sdf()
+    from nerfsafetyvalidation_tpu.validation.batched import (
+        FullBatchedRolloutEngine)
+    return FullBatchedRolloutEngine(
+        actions=np.zeros((t_steps, 4), np.float32), dt=0.1, g=10.0,
+        mass=1.0, I=np.eye(3), sdf=sdf, sdf_start=sdf_start,
+        granularity=gran, noise_mean=np.zeros(12),
+        noise_std=np.full(12, 0.01), start_state=np.zeros(12),
+        net=net, params=params, obs_res=RES, base_res=RES,
+        render_steps=8, obs_render="uniform", uq_method=uq_method,
+        uq_iters=10)
+
+
+def test_closed_loop_uq_reward(stack):
+    """uq_engine composition (the reference's COMPLETE NerfSimulator.step:
+    estimate + replan + UQ-masked reward per step, NerfSimulator.py:66-181):
+    cross-checks every (sim, step) reward by recomputing it from the
+    engine's recorded true states + log-likelihoods through the UQ
+    engine's own obs render / UQ / reward methods."""
+    knots0, ia0 = fresh_plan(stack)
+    uq = make_uq_engine(stack)
+    eng = make_engine(stack, knots0, ia0, uq_engine=uq)
+    noises = eng.sample_noises(jax.random.PRNGKey(3), 2)
+    out = eng.run(noises, uq_key=jax.random.PRNGKey(9))
+    rewards = np.asarray(out["reward"])
+    sigmas = np.asarray(out["sigma_d"])
+    assert rewards.shape == (2, T_STEPS)
+    assert np.all(np.isfinite(rewards)) and np.all(np.isfinite(sigmas))
+    # recompute independently for every (sim, step)
+    for i in range(2):
+        for t in range(T_STEPS):
+            s = jnp.asarray(np.asarray(out["true_states"])[i, t])
+            obs = uq._render_obs(s)
+            _, sd = uq._gaussian_uq(obs["rgbs"], obs["sigmas"],
+                                    obs["image"])
+            ll = float(np.asarray(out["log_likelihoods"])[i, t])
+            want = float(uq._reward(jnp.asarray(ll), sd))
+            np.testing.assert_allclose(rewards[i, t], want, rtol=2e-3,
+                                       atol=2e-4)
+            np.testing.assert_allclose(sigmas[i, t], float(sd), rtol=2e-3,
+                                       atol=1e-5)
+
+
+def test_closed_loop_cem(stack, tmp_path):
+    """Closed-loop CEM: full-cov proposals + exact sequential update over
+    closed-loop rollouts, reward-scaled risk, 27-column CSV rows."""
+    knots0, ia0 = fresh_plan(stack)
+    uq = make_uq_engine(stack)
+    eng = make_engine(stack, knots0, ia0, uq_engine=uq)
+    csv_path = str(tmp_path / "cem.csv")
+    res = eng.cem(jax.random.PRNGKey(1), m=3, m_elite=2, kmax=2,
+                  csv_path=csv_path)
+    assert len(res["history"]) == 2
+    for h in res["history"]:
+        assert np.isfinite(h["mean_risk"]) and np.isfinite(h["elite_risk"])
+    assert res["vars"].shape == (T_STEPS, 12)
+    rows = open(csv_path).read().strip().splitlines()
+    assert len(rows) == 2 * 3 * T_STEPS          # kmax * m * steps (no hits)
+    assert len(rows[0].split(",")) == 27          # reference schema width

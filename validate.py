@@ -159,8 +159,16 @@ def validate_closed_loop(simulator, stresstest, noise_mean, noise_std,
     full filtered-MPC loop of NerfSimulator.py:66-155 as one jitted
     program. The interest mask is a fixed strided pixel grid (the traceable
     stand-in for SIFT find_POI + dilation; the sequential Estimator accepts
-    the same set via filter_cfg['fixed_coords'] for cross-checking)."""
+    the same set via filter_cfg['fixed_coords'] for cross-checking).
+
+    With --closed_loop_uq != none a FullBatchedRolloutEngine obs chain is
+    composed so every step ALSO computes the uncertainty-masked reward —
+    the COMPLETE NerfSimulator.step (NerfSimulator.py:66-181) — and the
+    CEM stresstest runs full-covariance proposal updates over closed-loop
+    rollouts with the reward-scaled risk (CEM.py:110-122)."""
     import csv
+    from nerfsafetyvalidation_tpu.validation.batched import (
+        FullBatchedRolloutEngine)
     from nerfsafetyvalidation_tpu.validation.closed_loop import (
         ClosedLoopBatchedEngine)
 
@@ -176,6 +184,38 @@ def validate_closed_loop(simulator, stresstest, noise_mean, noise_std,
     cols = np.linspace(0, W - 1, G).astype(int)
     rr, cc = np.meshgrid(rows, cols, indexing="ij")
     coords = np.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)
+
+    # optional composed UQ reward chain (--closed_loop_uq)
+    uq_flag = getattr(opt, "closed_loop_uq", "auto")
+    if uq_flag == "auto":
+        uq_flag = {"Bayesian Laplace Approximation": "laplace"}.get(
+            getattr(simulator, "uq_method", None), "gaussian")
+    uq_engine = None
+    if uq_flag != "none":
+        uq_obs_render = getattr(opt, "batched_obs_render", "uniform")
+        uq_rstate = getattr(simulator, "renderer_state", None)
+        if uq_obs_render in ("fast", "guided") and uq_rstate is None:
+            print(f"[WARN] --batched_obs_render {uq_obs_render} needs the "
+                  "--fast_render occupancy state; falling back to 'scout'")
+            uq_obs_render = "scout"
+        uq_engine = FullBatchedRolloutEngine(
+            actions=actions, dt=simulator.agent_cfg["dt"],
+            g=simulator.agent_cfg["g"], mass=simulator.agent_cfg["mass"],
+            I=np.asarray(simulator.agent_cfg["I"], dtype=np.float32),
+            sdf=simulator.sdf,
+            sdf_start=[simulator.START_X, simulator.START_Y,
+                       simulator.START_Z],
+            granularity=simulator.GRANULARITY,
+            noise_mean=np.asarray(noise_mean),
+            noise_std=np.asarray(noise_std),
+            start_state=np.asarray(simulator.true_start_state),
+            net=simulator.net, params=simulator.params,
+            obs_res=int(getattr(opt, "batched_obs_res", 100)),
+            render_steps=int(getattr(opt, "num_steps", 64)),
+            base_res=simulator.res_x, uq_method=uq_flag,
+            obs_render=uq_obs_render, renderer_state=uq_rstate)
+        print(f"[INFO] closed-loop steps compute the {uq_flag} "
+              "uncertainty-masked reward (complete NerfSimulator.step)")
 
     eng = ClosedLoopBatchedEngine(
         steps=actions.shape[0], dt=simulator.agent_cfg["dt"],
@@ -197,11 +237,17 @@ def validate_closed_loop(simulator, stresstest, noise_mean, noise_std,
         planner_lr=float(simulator.planner_cfg["lr"]),
         density_fn=simulator.density_fn, robot_body=traj.robot_body,
         fade_out_epoch=simulator.planner_cfg["fade_out_epoch"],
-        fade_out_sharpness=simulator.planner_cfg["fade_out_sharpness"])
+        fade_out_sharpness=simulator.planner_cfg["fade_out_sharpness"],
+        uq_engine=uq_engine)
 
-    if stresstest != "Monte Carlo":
-        print("[WARN] closed-loop mode runs the MC sweep (CEM proposal "
-              "updates over closed-loop rollouts are sequential-mode only)")
+    if stresstest == "Cross Entropy Method":
+        m = max(n_simulations, 10)
+        res = eng.cem(
+            jax.random.PRNGKey(opt.seed), m=m, m_elite=5, kmax=5,
+            csv_path=f"results/collisionValuesClosedLoopCEM_m{m}"
+                     "melite5k5.csv")
+        print(f"Closed-loop CEM history: {res['history']}")
+        return res
     res = eng.monte_carlo(jax.random.PRNGKey(opt.seed), n_simulations)
     rate = res["collision_rate"]
     print(f"Closed-loop batched MC: collision rate {rate:.4f} over "
