@@ -466,7 +466,7 @@ def main():
         scenes[scene] = dict(
             net=net_r, net_raw=net, fparams=fparams, state=state,
             student=student_r, sparams=sparams, views=views,
-            students={MAX_SAMPLES: (student_r, sparams)},
+            students={(MAX_SAMPLES, 256, 6): (student_r, sparams)},
             gate_db=float(os.environ.get(gate_env, str(gate_default))))
         rel = SCENE_SPECS[scene].get("rel_margin")
         if rel is not None:
@@ -493,27 +493,31 @@ def main():
 
     # ---- candidate render modes; each builder takes a scene dict and
     # returns a frame-render closure
-    def _student_k(sc, scene, k):
+    def _student_k(sc, scene, k, hidden_dim=256, num_layers=6):
         """Student variant fine-tuned at the deployed window count K
-        (cached via _get_student's tagged pkl; committed via
-        freeze_bench_assets so driver runs never retrain)."""
-        if k not in sc["students"]:
+        and sized hidden_dim x num_layers (cached via _get_student's
+        tagged pkl; committed via freeze_bench_assets so driver runs
+        never retrain)."""
+        key = (k, hidden_dim, num_layers)
+        if key not in sc["students"]:
             student, sparams = _get_student(
                 sc["net_raw"], sc["fparams"], sc["state"],
-                jax.random.PRNGKey(7 + k), scene, K=k)
+                jax.random.PRNGKey(7 + k), scene, K=k,
+                hidden_dim=hidden_dim, num_layers=num_layers)
             student_r = make_network(_replace(student.cfg, fused=True)) \
                 if use_fused else student
-            sc["students"][k] = (student_r, sparams)
-        return sc["students"][k]
+            sc["students"][key] = (student_r, sparams)
+        return sc["students"][key]
 
-    def mode_baked_k(k, scout_samples=64):
+    def mode_baked_k(k, scout_samples=64, hidden_dim=256, num_layers=6):
         # gather-free end to end: student scout prepass fused into the
         # fine jit (prepass_mode="scout") + raster-order tiles; the
         # sigma+color chain is XLA-fused dense matmuls (BENCH_FUSED=1
         # swaps in the pallas megakernel, measured slower — see above)
         def build(sc):
             scene = next(s for s in BENCH_SCENES if scenes[s] is sc)
-            student, sparams = _student_k(sc, scene, k)
+            student, sparams = _student_k(sc, scene, k, hidden_dim,
+                                          num_layers)
             # tile 16384: scripts/bench_tile_sweep.py measured the
             # lax.map knee — 137.7 ms/frame vs 179.9 at 8192 (same PSNR)
             return lambda ro, rd: R.render_frame_guided(
@@ -543,15 +547,23 @@ def main():
     # by default: scoring them costs ~2-4 cold-compile minutes each and
     # they never become the headline.
     mode_order = os.environ.get(
-        "BENCH_MODES", "baked,guided,fast").split(",")
+        "BENCH_MODES", "baked_h192,baked,guided,fast").split(",")
     builders = {"baked": mode_baked_k(MAX_SAMPLES), "guided": mode_guided,
                 "fast": mode_fast, "baked8": mode_baked_k(8),
                 "baked12": mode_baked_k(12),
+                # half-FLOPs student (192x6): needs the 16k-distill /
+                # 8k-fine-tune schedule to clear the gauntlet relative
+                # gate (scripts/bench_student_capacity_gate.py) — the
+                # committed asset is trained at that schedule
+                "baked_h192": mode_baked_k(MAX_SAMPLES, hidden_dim=192,
+                                           num_layers=6),
                 # halved scout: +5% in the tile sweep at -0.2 dB — ships
                 # only if it clears BOTH scene gates like any other mode
                 "baked_s32": mode_baked_k(MAX_SAMPLES, scout_samples=32)}
     labels = {
         "baked": "distilled gather-free student, depth-guided windows",
+        "baked_h192": "distilled gather-free student (192x6), depth-guided "
+                      "windows",
         "baked_s32": "distilled gather-free student, depth-guided windows, "
                      "32-sample scout",
         "baked8": "distilled gather-free student, depth-guided windows, K=8",
