@@ -242,14 +242,21 @@ def mip_fold_encode(params, x, spec: MipFoldSpec, bound: float = 1.0,
     frac = pos - cell
     ci = cell.astype(jnp.int32)
     w8 = _blend_weights(frac)
-    if fold_table is None and train_gather == "foldrow":
+    if fold_table is None and train_gather in ("foldrow", "foldrow_pallas"):
         # differentiable in-graph fold: build_mip_fold_table is pure
         # slicing/stacking of the materialized volume (zero gathers), and
-        # the per-sample fetch becomes ONE wide row instead of 8 corners
-        fold_table = build_mip_fold_table(
-            params, spec,
-            dtype=compute_dtype if compute_dtype is not None
-            else params["pyramid"][0].dtype)
+        # the per-sample fetch becomes ONE wide row instead of 8 corners.
+        # "foldrow_pallas" builds the same table with the copy-shaped
+        # Pallas kernel (ops/pallas/fold_build.py) whose fwd+bwd run as
+        # explicit block copies instead of XLA's slice-stack emission.
+        dt = (compute_dtype if compute_dtype is not None
+              else params["pyramid"][0].dtype)
+        if train_gather == "foldrow_pallas":
+            from .pallas.fold_build import fold_build_pallas
+            P = materialize_dense(params, spec, dtype=dt)
+            fold_table = fold_build_pallas(P, F, Cd)
+        else:
+            fold_table = build_mip_fold_table(params, spec, dtype=dt)
     if fold_table is not None:
         row = (ci[:, 0] * F + ci[:, 1]) * F + ci[:, 2]
         feats = jnp.take(fold_table, row, axis=0)          # [N, 8*Cd]

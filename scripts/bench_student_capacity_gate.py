@@ -55,6 +55,11 @@ def main():
     fov_x = 0.6911
     fx = 0.5 * W / np.tan(0.5 * fov_x)
     intr = (fx, fx, W / 2, H / 2)
+    # match bench.py's knobs exactly so a winner's pkl + gate decision
+    # transfer unchanged (ADVICE r4): same dt_gamma env override, same
+    # PRNGKey derivation as bench._student_k (7 + K), and the variant
+    # schedule comes from bench.STUDENT_SCHEDULES via _get_student
+    dt_gamma = float(os.environ.get("BENCH_DT_GAMMA", str(1.0 / 64)))
 
     # per-scene teacher assets + held-out views (exactly bench.py's gate)
     assets = {}
@@ -87,6 +92,8 @@ def main():
     anchor_known = dict(kv.split("=") for kv in args.anchor_db.split(",")
                         if kv)
     gate = {}
+    gate_min = {}  # pose-wise min bar; only set when the anchor renders
+    # here (a --anchor-db shortcut carries no per-pose min)
     for scene in scenes:
         spec = B.SCENE_SPECS[scene]
         gate_env, gate_default = spec["gate"]
@@ -113,15 +120,21 @@ def main():
                 return R.render_frame_fast(
                     net, fparams, state, ro, rd, tile=TILE,
                     max_samples=B.MAX_SAMPLES, max_steps=512,
-                    samples_per_hit=2, dt_gamma=1.0 / 64)["image"]
+                    samples_per_hit=2, dt_gamma=dt_gamma)["image"]
 
-            anchor = float(np.mean([psnr_of(fast(v[0], v[1]), v[2])
-                                    for v in views]))
+            apsnrs = [psnr_of(fast(v[0], v[1]), v[2]) for v in views]
+            anchor = float(np.mean(apsnrs))
             margin = float(os.environ.get(spec["rel_margin"][0],
                                           str(spec["rel_margin"][1])))
             bar = min(bar, anchor - margin)
+            # pose-wise min bar, same margin (bench.py's r5 min gate)
+            gate_min[scene] = min(float(os.environ.get(
+                spec["gate"][0], str(spec["gate"][1]))),
+                float(np.min(apsnrs)) - margin)
             print(json.dumps({"scene": scene, "anchor_db": round(anchor, 2),
-                              "gate_db": round(bar, 2)}), flush=True)
+                              "gate_db": round(bar, 2),
+                              "gate_min_db": round(gate_min[scene], 2)}),
+                  flush=True)
         gate[scene] = bar
 
     results = {}
@@ -132,14 +145,15 @@ def main():
         for scene in scenes:
             net, fparams, state, views = assets[scene]
             student, sparams = B._get_student(
-                net, fparams, state, jax.random.PRNGKey(7), scene,
+                net, fparams, state,
+                jax.random.PRNGKey(7 + B.MAX_SAMPLES), scene,
                 hidden_dim=hd, num_layers=nl)
 
             def render(ro, rd):
                 return R.render_frame_guided(
                     student, sparams, state, ro, rd, H, W,
                     prepass_factor=8, max_samples=B.MAX_SAMPLES,
-                    tile=16384, max_steps=512, dt_gamma=1.0 / 64,
+                    tile=16384, max_steps=512, dt_gamma=dt_gamma,
                     prepass_mode="scout", scout_samples=64,
                     natural_tile_cap=16384)["image"]
 
@@ -153,7 +167,11 @@ def main():
                    "gate_db": round(gate[scene], 2),
                    "ms_frame": round(dt * 1e3, 1),
                    "rays_per_s": round(n_rays / dt)}
-            row["pass"] = row["psnr_mean"] >= gate[scene]
+            row["pass"] = row["psnr_mean"] >= gate[scene] and (
+                scene not in gate_min
+                or row["psnr_min"] >= gate_min[scene])
+            if scene in gate_min:
+                row["gate_min_db"] = round(gate_min[scene], 2)
             ok = ok and row["pass"]
             entry[scene] = row
             print(json.dumps(row), flush=True)

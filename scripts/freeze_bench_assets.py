@@ -73,7 +73,8 @@ def main():
     frozen = []
     # per-scene flagships (bench.SCENE_SPECS names) + the ref backbone
     for ws, name in [("ws", "flagship"), ("ws_gauntlet", "flagship_gauntlet"),
-                     ("ws_ref", "refbb")]:
+                     ("ws_ref", "refbb"),
+                     ("ws_ref_gauntlet", "refbb_gauntlet")]:
         src = latest_ckpt(ws)
         if src is None:
             print(f"[WARN] no checkpoint under {ws}/checkpoints — skipped")

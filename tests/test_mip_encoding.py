@@ -134,7 +134,8 @@ def test_network_mip_density_and_fold():
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(r2),
                                rtol=1e-4, atol=1e-5)
 
-@pytest.mark.parametrize("mode", ["pair", "quad", "cube", "foldrow"])
+@pytest.mark.parametrize("mode", ["pair", "quad", "cube", "foldrow",
+                                  "foldrow_pallas"])
 def test_train_gather_modes_match_corner8(small_spec, mode):
     """Every corner-fetch strategy (config.train_gather) must reproduce the
     corner8 baseline's outputs AND parameter gradients — they differ only
