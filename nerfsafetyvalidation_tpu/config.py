@@ -54,9 +54,17 @@ class NetworkConfig:
     fused: bool = False
     # mipfold TRAINING corner-fetch strategy (ops/mip_encoding.
     # _dense_corner_fetch): 'corner8' | 'pair' | 'quad' | 'cube' | 'foldrow'
-    # — numerically identical; selects how many gather rows the HBM gather
-    # engine is issued per sample (bench_gather.py section H decides)
+    # | 'foldrow_pallas' — numerically identical; selects how many gather
+    # rows the HBM gather engine is issued per sample (bench_gather.py
+    # section H decides; foldrow_pallas builds the fold with the
+    # copy-shaped kernel, ops/pallas/fold_build.py)
     train_gather: str = "corner8"
+    # mipfold reduced fold resolution (MipFoldSpec.fold_scale): materialize/
+    # fold/encode the dense part at this scale instead of the native finest
+    # pyramid scale — the O(F^3) in-graph fold-build term shrinks
+    # cubically. 0 = native. Used by the trainer's progressive-fold warmup
+    # (opt.fold_warmup_scale); params are identical across scales.
+    fold_scale: int = 0
     # static level mask (ROADMAP #5, mip-style): encode only levels
     # < max_level — masked levels contribute zero features AND issue no
     # gather rows (the row count is what bounds the reference-layout

@@ -36,7 +36,8 @@ class NeRFNetworkMip(NeRFNetwork):
         self.mip_spec = MipFoldSpec(
             pyramid_scales=dense, pyramid_channels=cfg.level_dim,
             mip_scales=mip, mip_channels=cfg.level_dim,
-            log2_hashmap_size=cfg.log2_hashmap_size)
+            log2_hashmap_size=cfg.log2_hashmap_size,
+            fold_scale=getattr(cfg, "fold_scale", 0))
         self.mip_spec.validate()
 
         base_cfg = cfg if cfg.encoding != "mipfold" else \

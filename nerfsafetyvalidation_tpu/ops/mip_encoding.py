@@ -53,9 +53,20 @@ class MipFoldSpec:
     mip_scales: Tuple[int, ...] = (256, 512, 1024, 2048)
     mip_channels: int = 4              # channels per mip level
     log2_hashmap_size: int = 19
+    # fold_scale > 0 materializes/folds/encodes the dense part at this
+    # REDUCED resolution (exact strided grid-point sampling of the finer
+    # pyramid grids): the O(F^3) fold-build term shrinks cubically. A
+    # training-warmup approximation knob (progressive fold resolution,
+    # trainer opt.fold_warmup_scale) — the parameter pytree is identical,
+    # so the same params serve both scales.
+    fold_scale: int = 0
 
     @property
     def F(self) -> int:
+        return self.fold_scale or self.pyramid_scales[-1]
+
+    @property
+    def F_native(self) -> int:
         return self.pyramid_scales[-1]
 
     @property
@@ -86,8 +97,16 @@ class MipFoldSpec:
         for s in self.mip_scales:
             if s % self.mip_scales[-1] and self.mip_scales[-1] % s:
                 raise ValueError("mip scales must nest")
-            if s <= self.F:
+            if s <= self.F_native:
                 raise ValueError("mip scales must exceed the dense scale")
+        if self.fold_scale:
+            for s in self.pyramid_scales:
+                if s % self.fold_scale and self.fold_scale % s:
+                    raise ValueError("fold_scale must nest with every "
+                                     "pyramid scale")
+            if self.fold_scale > self.F_native:
+                raise ValueError("fold_scale cannot exceed the native "
+                                 "dense scale")
 
 
 def mip_fold_init(key, spec: MipFoldSpec, std: float = 1e-4):
@@ -134,10 +153,16 @@ def materialize_dense(params, spec: MipFoldSpec, dtype=None):
     outs = []
     for g, s in zip(params["pyramid"], spec.pyramid_scales):
         v = g.reshape(s + 1, s + 1, s + 1, spec.pyramid_channels)
-        f = F // s
-        v = _upsample_axis(v, f, 0)
-        v = _upsample_axis(v, f, 1)
-        v = _upsample_axis(v, f, 2)
+        if s <= F:
+            f = F // s
+            v = _upsample_axis(v, f, 0)
+            v = _upsample_axis(v, f, 1)
+            v = _upsample_axis(v, f, 2)
+        else:
+            # reduced fold_scale: EXACT strided grid-point sampling of the
+            # finer grid ((s+1) points -> every (s//F)th -> F+1 points)
+            k = s // F
+            v = v[::k, ::k, ::k]
         outs.append(v)
     P = jnp.concatenate(outs, axis=-1)
     if dtype is not None:

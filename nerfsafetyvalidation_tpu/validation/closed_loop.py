@@ -71,7 +71,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                  planner_lr=1e-3, density_fn, robot_body,
                  fade_out_epoch=0, fade_out_sharpness=10.0,
                  quantize_target=True, obs_render="pixels", mesh=None,
-                 render_params=None, uq_engine=None):
+                 render_params=None, uq_engine=None, sim_group=None):
         """start_state: [12] true start (rotvec form); end_state: [18]
         planner goal; knots0: [S, 4] initial plan knots (from a host-side
         `Planner.a_star_init` + `learn_init`, exactly as NerfSimulator.reset
@@ -108,7 +108,13 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         NerfSimulator.py:113-115) and gathers the interest pixels from it
         — the like-for-like configuration for obs-size scaling tables
         (the per-iteration estimator candidates render the pixel batch in
-        both modes, exactly as the sequential estimator does)."""
+        both modes, exactly as the sequential estimator does);
+        sim_group: run() vmaps at most this many simulations per device
+        program and loops the population in chunks (the closed-loop
+        sibling of FullBatchedRolloutEngine's obs_group) — required for
+        obs_render="frame" at the reference 800^2 observation size, where
+        one sim's in-scan frame intermediates are ~GBs and a full
+        population vmap exceeds HBM."""
         self.fixed_coords = jnp.asarray(np.asarray(fixed_coords), jnp.int32)
         self.intrinsics = tuple(float(v) for v in intrinsics)
         self.obs_hw = (int(obs_hw[0]), int(obs_hw[1]))
@@ -132,6 +138,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         if obs_render not in ("pixels", "frame"):
             raise ValueError(f"unknown obs_render {obs_render!r}")
         self.obs_render = obs_render
+        self.sim_group = None if sim_group is None else int(sim_group)
         self.render_params = render_params
         self.uq_engine = uq_engine
         actions = jnp.zeros((int(steps), 4), jnp.float32)  # computed in-scan
@@ -405,7 +412,24 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
         uqp = self.uq_engine.params if self.uq_engine is not None else None
         uqst = self.uq_engine.renderer_state \
             if self.uq_engine is not None else None
-        return self._run(noises, self.render_params, uqp, uqst, keys)
+        g = self.sim_group
+        if g is None or g >= n or self.mesh is not None:
+            return self._run(noises, self.render_params, uqp, uqst, keys)
+        # population chunking: one compiled program of g sims, looped.
+        # The last chunk is padded to g (one compile total) and trimmed.
+        chunks = []
+        for i in range(0, n, g):
+            nz, kz = noises[i:i + g], keys[i:i + g]
+            pad = g - nz.shape[0]
+            if pad:
+                nz = jnp.concatenate([nz, jnp.repeat(nz[:1], pad, 0)], 0)
+                kz = jnp.concatenate([kz, jnp.repeat(kz[:1], pad, 0)], 0)
+            out = self._run(nz, self.render_params, uqp, uqst, kz)
+            if pad:
+                out = jax.tree_util.tree_map(lambda a, p=pad: a[:-p], out)
+            chunks.append(out)
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
     def cem(self, key, m: int, m_elite: int, kmax: int, csv_path=None):
         """CLOSED-LOOP CEM: the reference's CEM semantics end to end —

@@ -81,6 +81,13 @@ def main():
     ap.add_argument("--uq-obs-render", default="uniform",
                     choices=["uniform", "scout"],
                     help="the UQ engine's in-scan observation path")
+    ap.add_argument("--sim-group", type=int, default=0,
+                    help="vmap at most this many sims per device program "
+                         "(0 = whole population). Required at obs 800 "
+                         "frame observations: one sim's in-scan frame "
+                         "intermediates are ~GBs")
+    ap.add_argument("--csv", default="",
+                    help="append the 27-col reference CSV here (--cem)")
     args = ap.parse_args()
 
     import jax
@@ -193,7 +200,8 @@ def main():
                     epochs_update=epochs, planner_lr=1e-3,
                     density_fn=density_fn, render_params=fparams,
                     robot_body=planner0.robot_body,
-                    obs_render=args.obs_render, uq_engine=uq_engine)
+                    obs_render=args.obs_render, uq_engine=uq_engine,
+                    sim_group=args.sim_group or None)
                 key = jax.random.PRNGKey(0)
                 if args.cem:
                     # warm the compile with one m-rollout round, then the
@@ -207,7 +215,8 @@ def main():
                     compile_s = time.perf_counter() - t0
                     t0 = time.perf_counter()
                     res = eng.cem(jax.random.PRNGKey(1), m=args.m,
-                                  m_elite=args.m_elite, kmax=args.kmax)
+                                  m_elite=args.m_elite, kmax=args.kmax,
+                                  csv_path=args.csv or None)
                     wall = time.perf_counter() - t0
                     n_roll = args.kmax * args.m
                     print(json.dumps({

@@ -258,6 +258,16 @@ def test_closed_loop_population(stack):
     assert 0.0 <= mc["collision_rate"] <= 1.0
     assert mc["true_states"].shape == (2, T_STEPS, 12)
 
+    # sim_group population chunking (the 800^2-frame-obs memory path)
+    # must reproduce the whole-population vmap exactly, including a
+    # padded last chunk (3 sims in groups of 2)
+    eng.sim_group = 2
+    out_g = eng.run(noises)
+    eng.sim_group = None
+    for k in ("true_states", "est_states", "risk", "ever_collided"):
+        np.testing.assert_allclose(np.asarray(out_g[k]),
+                                   np.asarray(out[k]), atol=1e-5)
+
 
 def fresh_plan(stack):
     """Default linear-interp plan from a fresh Planner (the

@@ -193,3 +193,46 @@ def test_foldrow_input_gradients(small_spec):
         fd = (loss(xp, "foldrow") - loss(xm, "foldrow")) / (2 * eps)
         np.testing.assert_allclose(float(gx[3, d]), float(fd),
                                    rtol=5e-3, atol=1e-3)
+
+
+def test_fold_scale_reduced_resolution(small_spec):
+    """fold_scale (progressive fold resolution, trainer warmup knob):
+    the dense part is materialized/encoded at the reduced scale — exact
+    strided grid-point sampling of the finer pyramid grids — with the
+    SAME parameter pytree, and at fold_scale == native F it is exactly
+    the native encode."""
+    from dataclasses import replace
+    spec = small_spec
+    params = mip_fold_init(jax.random.PRNGKey(0), spec, std=0.5)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (256, 3)), dtype=jnp.float32)
+
+    # fold_scale = native F is a no-op
+    spec_same = replace(spec, fold_scale=spec.F_native)
+    out_native = mip_fold_encode(params, x, spec)
+    np.testing.assert_allclose(
+        np.asarray(mip_fold_encode(params, x, spec_same)),
+        np.asarray(out_native), rtol=1e-6, atol=1e-7)
+
+    # reduced scale: dense part equals brute-force trilinear of the
+    # STRIDED volume at that scale; hash part is untouched
+    spec_red = replace(spec, fold_scale=8)
+    out_red = mip_fold_encode(params, x, spec_red)
+    assert out_red.shape == out_native.shape
+    n_mip = len(spec.mip_scales) * spec.mip_channels
+    np.testing.assert_allclose(
+        np.asarray(out_red[:, -n_mip:]), np.asarray(out_native[:, -n_mip:]),
+        rtol=1e-6, atol=1e-7)
+    P = np.asarray(materialize_dense(params, spec_red))
+    u = (np.asarray(x) + 1.0) / 2.0
+    want = _trilinear_ref(P, 8, u)
+    np.testing.assert_allclose(
+        np.asarray(out_red[:, :spec.dense_channels]), want,
+        rtol=1e-4, atol=1e-5)
+
+    # grads flow to every pyramid grid (incl. the strided finest one)
+    g = jax.grad(lambda p: jnp.sum(
+        mip_fold_encode(p, x, spec_red) ** 2))(params)
+    for gr in g["pyramid"]:
+        assert np.isfinite(np.asarray(gr)).all()
+    assert any(float(jnp.abs(gr).sum()) > 0 for gr in g["pyramid"])

@@ -451,3 +451,33 @@ def test_fused_steps_match_stepwise(tmp_path):
     # grid refreshed on the same schedule
     assert int(tr1.renderer_state.iter_density) == \
         int(trk.renderer_state.iter_density)
+
+
+def test_progressive_fold_warmup(tmp_path):
+    """opt.fold_warmup_scale: warmup steps train through the reduced-
+    fold-resolution variant of the mipfold net (identical params), then
+    the native-F step takes over at grid_warmup_steps — loss stays
+    finite across the phase switch and the refresh/eval paths use the
+    native net."""
+    from nerfsafetyvalidation_tpu.config import NetworkConfig
+    from nerfsafetyvalidation_tpu.models import make_network
+    cfg = NetworkConfig(encoding="mipfold", bound=1.0, num_levels=5,
+                        level_dim=2, base_resolution=4, fold_max_scale=16,
+                        log2_hashmap_size=10, grid_ray=True, grid_size=16)
+    net = make_network(cfg)
+    trainer = Trainer("t", make_opt(grid_max_samples=8, max_steps=64,
+                                    update_extra_interval=2,
+                                    grid_warmup_steps=2,
+                                    fold_warmup_scale=8),
+                      net, workspace=str(tmp_path / "wspf"),
+                      use_checkpoint="scratch", mute=True)
+    # phase 0: the warm net (reduced fold scale) is selected
+    assert trainer._phase_net() is not net
+    assert trainer._phase_net().cfg.fold_scale == 8
+    loader = FakeLoader(FakeData())
+    trainer.epoch = 1
+    loss = trainer.train_one_epoch(loader)
+    assert np.isfinite(loss)
+    # past warmup: the native net is selected again
+    assert trainer.global_step > 2
+    assert trainer._phase_net() is net
