@@ -1,20 +1,29 @@
-"""Convergence gate for the post-carve sample budget (VERDICT r3 item 4).
+"""Convergence gate for training-throughput variants (VERDICT r3 item 4 /
+r5 item 4).
 
-The budget sweep (scripts/bench_train.py) showed budget 8 is the fastest
-throughput point (48.1 ms/step), but throughput means nothing if the
-tighter budget starves training. This trains the bench flagship config
-twice — budget 16 (the committed bench default) and budget 8 — with the
-same seed/iters/scene in fresh workspaces and compares validation PSNR,
-the same quantity bench.py's gate is built on. Reference role: the
-mean_count-adaptive sample allocation tradeoff (raymarching.py:196-227).
+Throughput means nothing if the faster configuration starves training.
+This trains the bench flagship config once per variant — same seed/iters/
+scene, fresh workspaces — and compares validation PSNR, the same quantity
+bench.py's gate is built on. Reference role: the mean_count-adaptive
+sample allocation tradeoff (raymarching.py:196-227).
+
+Variants (--variants, comma list):
+  b16 / b8      post-carve sample budget 16 (bench default) vs 8
+  pallas        budget 16 + train_gather=foldrow_pallas (numerically
+                identical fold; this row guards the kernel end to end)
+  pf64 / pf32   budget 16 + progressive fold resolution during warmup
+                (opt.fold_warmup_scale — a real approximation, so this
+                variant NEEDS the gate)
 
 Run on the tunneled TPU:  python scripts/bench_budget_convergence.py
 """
 
+import argparse
 import json
 import os
 import shutil
 import sys
+import time
 
 import numpy as np
 
@@ -22,8 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
+VARIANTS = {
+    "b16": dict(budget=16),
+    "b8": dict(budget=8),
+    "pallas": dict(budget=16, train_gather="foldrow_pallas"),
+    "pf64": dict(budget=16, fold_warmup_scale=64),
+    "pf32": dict(budget=16, fold_warmup_scale=32),
+}
 
-def train_at_budget(budget, iters, scene_dir, tag):
+
+def train_at_budget(budget, iters, scene_dir, tag, train_gather="foldrow",
+                    fold_warmup_scale=0):
     import jax
     from nerfsafetyvalidation_tpu.config import NetworkConfig
     from nerfsafetyvalidation_tpu.models import make_network
@@ -34,7 +52,7 @@ def train_at_budget(budget, iters, scene_dir, tag):
                         compute_dtype="bfloat16", num_levels=8, level_dim=4,
                         base_resolution=16, fold_max_scale=128,
                         grid_ray=True, density_thresh=10.0,
-                        train_gather="foldrow")
+                        train_gather=train_gather)
     net = make_network(cfg)
 
     class O:
@@ -63,6 +81,8 @@ def train_at_budget(budget, iters, scene_dir, tag):
         dt_gamma = 1.0 / 64
         seed = 0
     O.iters = iters
+    if fold_warmup_scale:
+        O.fold_warmup_scale = fold_warmup_scale
 
     ws = f"/tmp/budget_conv_{tag}"
     shutil.rmtree(ws, ignore_errors=True)
@@ -72,14 +92,19 @@ def train_at_budget(budget, iters, scene_dir, tag):
     trainer = Trainer(f"conv_{tag}", O, net, workspace=ws,
                       use_checkpoint="scratch", fp16=True, mute=True,
                       eval_interval=10 ** 9, ckpt_interval=10 ** 9)
+    t0 = time.perf_counter()
     trainer.train(train_loader, valid_loader, max_epoch)
+    wall = time.perf_counter() - t0
     avg_loss = trainer.evaluate(valid_loader)
     # metrics[0] is the PSNR meter (train/metrics.py); evaluate records
     # its measure in stats["results"]
     results = trainer.stats.get("results", [])
     psnr = float(results[-1]) if results else \
         -10.0 * np.log10(max(float(avg_loss), 1e-10))
-    print(json.dumps({"budget": budget, "iters": iters,
+    print(json.dumps({"variant": tag, "budget": budget,
+                      "train_gather": train_gather,
+                      "fold_warmup_scale": fold_warmup_scale,
+                      "iters": iters, "train_wall_s": round(wall, 1),
                       "val_psnr": round(psnr, 2),
                       "val_loss": round(float(avg_loss), 6)}), flush=True)
     return psnr
@@ -105,11 +130,21 @@ def main():
                          n_test=4, H=bench.TRAIN_RES, W=bench.TRAIN_RES,
                          scene="spheres")
     iters = int(os.environ.get("CONV_ITERS", "1920"))
-    p16 = train_at_budget(16, iters, scene_dir, "b16")
-    p8 = train_at_budget(8, iters, scene_dir, "b8")
-    if p16 is not None and p8 is not None:
-        print(json.dumps({"delta_db": round(float(p8) - float(p16), 2)}),
-              flush=True)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="b16,b8")
+    args = ap.parse_args()
+    psnrs = {}
+    for tag in args.variants.split(","):
+        kw = dict(VARIANTS[tag])
+        budget = kw.pop("budget")
+        psnrs[tag] = train_at_budget(budget, iters, scene_dir, tag, **kw)
+    base = args.variants.split(",")[0]
+    for tag, p in psnrs.items():
+        if tag != base and p is not None and psnrs[base] is not None:
+            print(json.dumps({"variant": tag, "vs": base,
+                              "delta_db": round(float(p)
+                                                - float(psnrs[base]), 2)}),
+                  flush=True)
 
 
 if __name__ == "__main__":
