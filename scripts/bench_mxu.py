@@ -150,6 +150,8 @@ def main():
                 blob = pickle.load(fh)
             sparams = blob["params"] if isinstance(blob, dict) \
                 and "params" in blob else blob
+            # resident params: numpy pytrees re-upload per dispatch
+            sparams = jax.device_put(sparams)
         else:
             sparams = student.init(jax.random.PRNGKey(1))
 
