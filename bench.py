@@ -600,8 +600,12 @@ def main():
     # BENCH_NOTES, each fails the gauntlet gate) stay runnable via
     # BENCH_MODES but are excluded by default: scoring them costs ~2-4
     # cold-compile minutes each and they never become the headline.
+    # baked_h160 (24k/12k schedule) measured PASSING both scene gates
+    # 2026-08-20 (scripts/bench_student_capacity_gate.py: spheres
+    # 30.17/30.00, gauntlet 21.75/21.44); h128 fails gauntlet at 32k/16k
+    # (21.61) — see BENCH_NOTES "capacity gate" for the curve.
     mode_order = os.environ.get(
-        "BENCH_MODES", "baked_h192,baked,guided,fast").split(",")
+        "BENCH_MODES", "baked_h160,baked_h192,baked,guided,fast").split(",")
     builders = {"baked": mode_baked_k(MAX_SAMPLES), "guided": mode_guided,
                 "fast": mode_fast, "baked8": mode_baked_k(8),
                 "baked12": mode_baked_k(12),

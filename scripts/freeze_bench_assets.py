@@ -83,7 +83,12 @@ def main():
         slim(src, dst)
         frozen.append((dst, os.path.getsize(dst)))
     import glob
-    students = sorted(glob.glob(os.path.join(CACHE, "bench_student*.pkl")))
+    import re
+    students = sorted(
+        p for p in glob.glob(os.path.join(CACHE, "bench_student*.pkl"))
+        # skip env-schedule probe artifacts (_d<steps>f<steps> cache tags):
+        # only variants trained at their ENCODED schedule are assets
+        if not re.search(r"_d\d+f\d+\.pkl$", p))
     if not students:
         print("[WARN] no bench_student*.pkl — skipped")
     for src in students:
