@@ -563,6 +563,14 @@ def main():
             sc["students"][key] = (student_r, sparams)
         return sc["students"][key]
 
+    # fine-pass tile: 16384 was the round-4 lax.map knee for the 256x6
+    # student with host-numpy params; with device-resident params and the
+    # smaller students the knee moved back to 8192 (round-5
+    # scripts/bench_frame_anatomy.py: h160 62.6 ms @ 8192 vs 68.6 @
+    # 16384). Tile size is PSNR-neutral (bit-exact across sizes,
+    # verified on-chip round 4), so this is a pure timing knob.
+    baked_tile = int(os.environ.get("BENCH_TILE", "8192"))
+
     def mode_baked_k(k, scout_samples=64, hidden_dim=256, num_layers=6):
         # gather-free end to end: student scout prepass fused into the
         # fine jit (prepass_mode="scout") + raster-order tiles; the
@@ -572,14 +580,13 @@ def main():
             scene = next(s for s in BENCH_SCENES if scenes[s] is sc)
             student, sparams = _student_k(sc, scene, k, hidden_dim,
                                           num_layers)
-            # tile 16384: scripts/bench_tile_sweep.py measured the
-            # lax.map knee — 137.7 ms/frame vs 179.9 at 8192 (same PSNR)
             return lambda ro, rd: R.render_frame_guided(
                 student, sparams, sc["state"], ro, rd, H, W,
-                prepass_factor=8, max_samples=k, tile=16384, max_steps=512,
+                prepass_factor=8, max_samples=k, tile=baked_tile,
+                max_steps=512,
                 dt_gamma=dt_gamma, prepass_mode="scout",
                 scout_samples=scout_samples,
-                natural_tile_cap=16384)["image"]
+                natural_tile_cap=baked_tile)["image"]
         return build
 
     def mode_guided(sc):
@@ -622,6 +629,15 @@ def main():
                                            num_layers=6),
                 "baked_h128": mode_baked_k(MAX_SAMPLES, hidden_dim=128,
                                            num_layers=6),
+                # round-5 overhead levers on the h160 winner: halved
+                # scout (window placement only; -5 ms) and K=12 windows
+                # (own fine-tune; -7 ms) — each ships only if gated
+                "baked_h160_s32": mode_baked_k(MAX_SAMPLES,
+                                               scout_samples=32,
+                                               hidden_dim=160,
+                                               num_layers=6),
+                "baked_h160_k12": mode_baked_k(12, hidden_dim=160,
+                                               num_layers=6),
                 # halved scout: +5% in the tile sweep at -0.2 dB — ships
                 # only if it clears BOTH scene gates like any other mode
                 "baked_s32": mode_baked_k(MAX_SAMPLES, scout_samples=32)}
@@ -631,6 +647,10 @@ def main():
                       "windows",
         "baked_h160": "distilled gather-free student (160x6), depth-guided "
                       "windows",
+        "baked_h160_s32": "distilled gather-free student (160x6), "
+                          "depth-guided windows, 32-sample scout",
+        "baked_h160_k12": "distilled gather-free student (160x6), "
+                          "depth-guided windows, K=12",
         "baked_h128": "distilled gather-free student (128x6), depth-guided "
                       "windows",
         "baked_s32": "distilled gather-free student, depth-guided windows, "
