@@ -137,7 +137,15 @@ def main():
     for tag in args.variants.split(","):
         kw = dict(VARIANTS[tag])
         budget = kw.pop("budget")
-        psnrs[tag] = train_at_budget(budget, iters, scene_dir, tag, **kw)
+        try:
+            psnrs[tag] = train_at_budget(budget, iters, scene_dir, tag, **kw)
+        except Exception as e:                              # noqa: BLE001
+            # e.g. foldrow_pallas fails to lower on this toolchain
+            # (bench_fold_pallas.py records the compiler errors); keep
+            # the remaining variants running
+            print(json.dumps({"variant": tag, "error": str(e)[:300]}),
+                  flush=True)
+            psnrs[tag] = None
     base = args.variants.split(",")[0]
     for tag, p in psnrs.items():
         if tag != base and p is not None and psnrs[base] is not None:
