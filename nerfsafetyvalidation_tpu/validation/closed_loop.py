@@ -49,6 +49,19 @@ from ..data.rays import rays_for_pixels
 from .batched import BatchedRolloutEngine, FullBatchedRolloutEngine
 
 
+def _finite_risks(risks):
+    """Divergence bailout for CEM elite selection: a rollout whose
+    dynamics escape the workspace produces non-finite states and a
+    non-finite risk; treat it as +inf (maximally uninteresting) so it can
+    never enter the elite set and corrupt the proposal update. Mirrors
+    the reference's out-of-bounds convention (SDF IndexError -> "not
+    collided", NerfSimulator.py:142-144) and its zero-weight bailout
+    (CrossEntropyMethod.py:264-274). Observed live: an obs-800^2 sweep
+    had 3 rollouts fly out of bounds (sdf ~ -72) and NaN their UQ chain."""
+    risks = np.asarray(risks, dtype=np.float64)
+    return np.where(np.isfinite(risks), risks, np.inf)
+
+
 def state12_to_18(x):
     """12-state (rotvec) -> 18-state (rot matrix) (NerfSimulator.py:135-138)."""
     return jnp.concatenate([x[:6], vec_to_rot_matrix(x[6:9]).reshape(-1),
@@ -463,6 +476,7 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
                 if out["collided"][i].any():
                     T_i = int(np.argmax(out["collided"][i])) + 1
                 risks[i] = adj[i, :T_i].min()
+            risks = _finite_risks(risks)
 
             if csv_path is not None:
                 os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
@@ -501,10 +515,13 @@ class ClosedLoopBatchedEngine(BatchedRolloutEngine):
             elite_idx = np.argsort(risks)[:m_elite]
             means, covs = _cem_proposal_update(nz[elite_idx], means, covs,
                                                p_mean, p_cov)
+            finite = risks[np.isfinite(risks)]
             history.append({
-                "mean_risk": float(risks.mean()),
+                "mean_risk": float(finite.mean()) if finite.size
+                else float("nan"),
                 "elite_risk": float(risks[elite_idx].mean()),
                 "collision_rate": float(out["collided"].any(1).mean()),
+                "n_diverged": int(m - finite.size),
             })
         return {"means": means, "covs": covs,
                 "vars": np.stack([np.diag(c) for c in covs]),

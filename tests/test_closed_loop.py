@@ -339,3 +339,14 @@ def test_closed_loop_cem(stack, tmp_path):
     rows = open(csv_path).read().strip().splitlines()
     assert len(rows) == 2 * 3 * T_STEPS          # kmax * m * steps (no hits)
     assert len(rows[0].split(",")) == 27          # reference schema width
+
+
+def test_finite_risks_divergence_bailout():
+    """A diverged rollout (NaN/inf risk) must never reach the elite set:
+    non-finite risks map to +inf, finite ordering is untouched."""
+    from nerfsafetyvalidation_tpu.validation.closed_loop import _finite_risks
+    risks = _finite_risks([0.3, np.nan, -0.5, np.inf, 0.1, -np.inf])
+    assert np.all(np.isfinite(risks[[0, 2, 4]]))
+    assert np.all(risks[[1, 3, 5]] == np.inf)
+    elite = np.argsort(risks)[:2]
+    assert set(elite) == {2, 4}                   # the two lowest finite
