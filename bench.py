@@ -571,7 +571,8 @@ def main():
     # verified on-chip round 4), so this is a pure timing knob.
     baked_tile = int(os.environ.get("BENCH_TILE", "8192"))
 
-    def mode_baked_k(k, scout_samples=64, hidden_dim=256, num_layers=6):
+    def mode_baked_k(k, scout_samples=64, hidden_dim=256, num_layers=6,
+                     prepass_factor=8):
         # gather-free end to end: student scout prepass fused into the
         # fine jit (prepass_mode="scout") + raster-order tiles; the
         # sigma+color chain is XLA-fused dense matmuls (BENCH_FUSED=1
@@ -582,8 +583,8 @@ def main():
                                           num_layers)
             return lambda ro, rd: R.render_frame_guided(
                 student, sparams, sc["state"], ro, rd, H, W,
-                prepass_factor=8, max_samples=k, tile=baked_tile,
-                max_steps=512,
+                prepass_factor=prepass_factor, max_samples=k,
+                tile=baked_tile, max_steps=512,
                 dt_gamma=dt_gamma, prepass_mode="scout",
                 scout_samples=scout_samples,
                 natural_tile_cap=baked_tile)["image"]
@@ -638,6 +639,9 @@ def main():
                                                num_layers=6),
                 "baked_h160_k12": mode_baked_k(12, hidden_dim=160,
                                                num_layers=6),
+                "baked_h160_f16": mode_baked_k(MAX_SAMPLES, hidden_dim=160,
+                                               num_layers=6,
+                                               prepass_factor=16),
                 # halved scout: +5% in the tile sweep at -0.2 dB — ships
                 # only if it clears BOTH scene gates like any other mode
                 "baked_s32": mode_baked_k(MAX_SAMPLES, scout_samples=32)}
@@ -651,6 +655,8 @@ def main():
                           "depth-guided windows, 32-sample scout",
         "baked_h160_k12": "distilled gather-free student (160x6), "
                           "depth-guided windows, K=12",
+        "baked_h160_f16": "distilled gather-free student (160x6), "
+                          "depth-guided windows, 1/16 scout grid",
         "baked_h128": "distilled gather-free student (128x6), depth-guided "
                       "windows",
         "baked_s32": "distilled gather-free student, depth-guided windows, "
