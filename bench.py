@@ -572,7 +572,8 @@ def main():
     baked_tile = int(os.environ.get("BENCH_TILE", "8192"))
 
     def mode_baked_k(k, scout_samples=64, hidden_dim=256, num_layers=6,
-                     prepass_factor=8):
+                     prepass_factor=8, adaptive_k=0,
+                     adaptive_span_cells=12.5):
         # gather-free end to end: student scout prepass fused into the
         # fine jit (prepass_mode="scout") + raster-order tiles; the
         # sigma+color chain is XLA-fused dense matmuls (BENCH_FUSED=1
@@ -587,7 +588,8 @@ def main():
                 tile=baked_tile, max_steps=512,
                 dt_gamma=dt_gamma, prepass_mode="scout",
                 scout_samples=scout_samples,
-                natural_tile_cap=baked_tile)["image"]
+                natural_tile_cap=baked_tile, adaptive_k=adaptive_k,
+                adaptive_span_cells=adaptive_span_cells)["image"]
         return build
 
     def mode_guided(sc):
@@ -613,7 +615,8 @@ def main():
     # 30.17/30.00, gauntlet 21.75/21.44); h128 fails gauntlet at 32k/16k
     # (21.61) — see BENCH_NOTES "capacity gate" for the curve.
     mode_order = os.environ.get(
-        "BENCH_MODES", "baked_h160,baked_h192,baked,guided,fast").split(",")
+        "BENCH_MODES",
+        "baked_h160_ak8,baked_h160,baked_h192,baked,guided,fast").split(",")
     builders = {"baked": mode_baked_k(MAX_SAMPLES), "guided": mode_guided,
                 "fast": mode_fast, "baked8": mode_baked_k(8),
                 "baked12": mode_baked_k(12),
@@ -642,6 +645,19 @@ def main():
                 "baked_h160_f16": mode_baked_k(MAX_SAMPLES, hidden_dim=160,
                                                num_layers=6,
                                                prepass_factor=16),
+                # adaptive per-tile K: narrow-window tiles shade with 8
+                # samples at >= the full-span K=16 sampling density
+                # (renderer._window_shade_tile lax.switch bucketing)
+                # adaptive span 24 cells: the measured sweet spot
+                # (12.5 -> no tile qualifies; 40 -> gauntlet tiles
+                # qualify and FAIL the gate at 21.17 dB — the knob's
+                # fidelity cliff is gated like every other lever)
+                "baked_h160_ak8": mode_baked_k(MAX_SAMPLES, hidden_dim=160,
+                                               num_layers=6, adaptive_k=8,
+                                               adaptive_span_cells=float(
+                                                   os.environ.get(
+                                                       "BENCH_AK_SPAN",
+                                                       "24"))),
                 # halved scout: +5% in the tile sweep at -0.2 dB — ships
                 # only if it clears BOTH scene gates like any other mode
                 "baked_s32": mode_baked_k(MAX_SAMPLES, scout_samples=32)}
@@ -657,6 +673,8 @@ def main():
                           "depth-guided windows, K=12",
         "baked_h160_f16": "distilled gather-free student (160x6), "
                           "depth-guided windows, 1/16 scout grid",
+        "baked_h160_ak8": "distilled gather-free student (160x6), "
+                          "depth-guided windows, adaptive per-tile K 8/16",
         "baked_h128": "distilled gather-free student (128x6), depth-guided "
                       "windows",
         "baked_s32": "distilled gather-free student, depth-guided windows, "

@@ -838,10 +838,22 @@ def _window_grids(pre_dabs, pre_ws, h, w):
     return tmin, tmax, tmin < big
 
 
-def _window_shade_tile(net, cfg, params, tile, K, bg_color, args):
+def _window_shade_tile(net, cfg, params, tile, K, bg_color, args,
+                       adaptive_k: int = 0, adaptive_span: float = 0.0):
     """Shade one tile of rays with K uniform samples inside the per-ray
     [ta, tb] window; tiles with no hit ray short-circuit to background.
-    Returns (img, depth, agg, ws, uq-moments)."""
+    Returns (img, depth, agg, ws, uq-moments).
+
+    adaptive_k > 0 enables per-tile sample-count bucketing: a tile whose
+    widest window is <= adaptive_span shades with `adaptive_k` samples
+    instead of K — the sampling DENSITY (samples per unit depth) stays
+    at or above the K-sample density on the full-span window, and the
+    student's robust pixel fine-tune trains under randomized window
+    width/center (models/bake.py finetune_render), so the narrower dtw
+    discretization is in-distribution. The lax.switch pays only the
+    chosen branch per tile, the TPU-native analog of the reference's
+    per-ray early termination (raymarching.cu:871-912) at tile
+    granularity."""
     o, d, ta, tb, nr, fr, ht = args
 
     def empty(_):
@@ -849,38 +861,47 @@ def _window_shade_tile(net, cfg, params, tile, K, bg_color, args):
         return (img, jnp.zeros((tile,)), jnp.zeros((tile,)),
                 jnp.zeros((tile,)), jnp.zeros((4,)))
 
-    def shade(_):
-        dtw = (tb - ta) / K                              # [tile]
-        jj = (jnp.arange(K, dtype=jnp.float32) + 0.5)
-        z = ta[:, None] + dtw[:, None] * jj[None, :]     # [tile, K]
-        mask = ht[:, None] & (z < fr[:, None])
-        xyz = jnp.clip(o[:, None, :] + z[..., None] * d[:, None, :],
-                       -cfg.bound, cfg.bound).reshape(-1, 3)
-        dirs = jnp.broadcast_to(d[:, None, :],
-                                (tile, K, 3)).reshape(-1, 3)
-        sigmas, rgbs = net.apply(params, xyz, dirs)
-        sigmas = jnp.where(mask, sigmas.reshape(tile, K), 0.0)
-        rgbs = rgbs.reshape(tile, K, 3)
-        alphas = 1.0 - jnp.exp(
-            -dtw[:, None] * cfg.density_scale * sigmas)
-        shifted = jnp.concatenate(
-            [jnp.ones_like(alphas[:, :1]),
-             1.0 - alphas + 1e-15], axis=-1)
-        trans = jnp.cumprod(shifted, axis=-1)[:, :-1]
-        wgt = alphas * trans
-        ws = jnp.sum(wgt, axis=-1)
-        img = jnp.sum(wgt[..., None] * rgbs, axis=-2) \
-            + (1.0 - ws)[..., None] * bg_color
-        safe = jnp.where(fr > nr, fr - nr, 1.0)
-        depth = jnp.sum(wgt * jnp.clip(z - nr[:, None], 0.0,
-                                       None), axis=-1) / safe
-        agg = jnp.sum(wgt * sigmas, axis=-1)
-        cd = rgbs * sigmas[..., None]
-        mom = jnp.stack([jnp.sum(cd * cd), jnp.sum(cd),
-                         jnp.sum(sigmas), jnp.sum(sigmas ** 2)])
-        return img, depth, agg, ws, mom
+    def make_shade(Kb):
+        def shade(_):
+            dtw = (tb - ta) / Kb                             # [tile]
+            jj = (jnp.arange(Kb, dtype=jnp.float32) + 0.5)
+            z = ta[:, None] + dtw[:, None] * jj[None, :]     # [tile, Kb]
+            mask = ht[:, None] & (z < fr[:, None])
+            xyz = jnp.clip(o[:, None, :] + z[..., None] * d[:, None, :],
+                           -cfg.bound, cfg.bound).reshape(-1, 3)
+            dirs = jnp.broadcast_to(d[:, None, :],
+                                    (tile, Kb, 3)).reshape(-1, 3)
+            sigmas, rgbs = net.apply(params, xyz, dirs)
+            sigmas = jnp.where(mask, sigmas.reshape(tile, Kb), 0.0)
+            rgbs = rgbs.reshape(tile, Kb, 3)
+            alphas = 1.0 - jnp.exp(
+                -dtw[:, None] * cfg.density_scale * sigmas)
+            shifted = jnp.concatenate(
+                [jnp.ones_like(alphas[:, :1]),
+                 1.0 - alphas + 1e-15], axis=-1)
+            trans = jnp.cumprod(shifted, axis=-1)[:, :-1]
+            wgt = alphas * trans
+            ws = jnp.sum(wgt, axis=-1)
+            img = jnp.sum(wgt[..., None] * rgbs, axis=-2) \
+                + (1.0 - ws)[..., None] * bg_color
+            safe = jnp.where(fr > nr, fr - nr, 1.0)
+            depth = jnp.sum(wgt * jnp.clip(z - nr[:, None], 0.0,
+                                           None), axis=-1) / safe
+            agg = jnp.sum(wgt * sigmas, axis=-1)
+            cd = rgbs * sigmas[..., None]
+            mom = jnp.stack([jnp.sum(cd * cd), jnp.sum(cd),
+                             jnp.sum(sigmas), jnp.sum(sigmas ** 2)])
+            return img, depth, agg, ws, mom
+        return shade
 
-    return jax.lax.cond(jnp.any(ht), shade, empty, None)
+    if not adaptive_k:
+        return jax.lax.cond(jnp.any(ht), make_shade(K), empty, None)
+    any_hit = jnp.any(ht)
+    span = jnp.max(jnp.where(ht, tb - ta, 0.0))
+    idx = jnp.where(any_hit,
+                    jnp.where(span <= adaptive_span, 1, 2), 0)
+    return jax.lax.switch(idx, [empty, make_shade(adaptive_k),
+                                make_shade(K)], None)
 
 
 def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
@@ -894,7 +915,9 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                         fine_order: str = "natural",
                         prepass_mode: str = "march",
                         scout_samples: int = 64,
-                        natural_tile_cap: int = 8192):
+                        natural_tile_cap: int = 8192,
+                        adaptive_k: int = 0,
+                        adaptive_span_cells: float = 12.5):
     """Two-pass frame render built around the measured gather wall
     (BENCH_NOTES "ceiling proof"): the per-cell DDA march — whose serial
     occupancy gathers dominate render time — runs only for a low-res
@@ -966,7 +989,7 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
 
     cache_key = (id(net), id(p_net), H, W, f, K, tile, float(bg_color),
                  float(margin), return_moments, fine_order, prepass_mode,
-                 scout_samples)
+                 scout_samples, adaptive_k, float(adaptive_span_cells))
     hit_fn = _FRAME_GUIDED_CACHE.get(cache_key)
     # staleness guard checks BOTH closed-over nets (the cache key encodes
     # id(net)/id(p_net); the identity check keeps a recycled id from
@@ -1033,8 +1056,10 @@ def render_frame_guided(net, params, state: "RendererState", rays_o, rays_d,
                     [hit_s, jnp.zeros((pad,), dtype=bool)])
 
             def shade_tile(args):
-                return _window_shade_tile(net, cfg, params, tile, K,
-                                          bg_color, args)
+                return _window_shade_tile(
+                    net, cfg, params, tile, K, bg_color, args,
+                    adaptive_k=adaptive_k,
+                    adaptive_span=adaptive_span_cells * cell)
 
             img, depth, agg, ws, mom = jax.lax.map(
                 shade_tile, (o_s.reshape(n_tiles, tile, 3),

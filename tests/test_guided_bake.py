@@ -272,3 +272,45 @@ def test_scout_mask_helper_zeroes_unoccupied(frame_scene):
                                   grid_size=cfg.grid_size)
     assert float(np.min(np.asarray(ws_unmasked))) > 0.5
     assert float(np.max(np.asarray(ws_masked))) < 1e-6
+
+
+def test_adaptive_k_same_k_is_identical(frame_scene):
+    """adaptive_k with both buckets at the same K must be bit-identical
+    to the non-adaptive path regardless of the span threshold."""
+    net, params, state, ro, rd, H, W = frame_scene
+    base = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                                 prepass_factor=4, max_samples=32,
+                                 tile=256, max_steps=128, margin_cells=6.0,
+                                 prepass_tile=1024, prepass_march_tile=1024)
+    for span in (0.0, 12.5, 1e9):
+        out = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                                    prepass_factor=4, max_samples=32,
+                                    tile=256, max_steps=128,
+                                    margin_cells=6.0, prepass_tile=1024,
+                                    prepass_march_tile=1024,
+                                    adaptive_k=32,
+                                    adaptive_span_cells=span)
+        np.testing.assert_array_equal(np.asarray(base["image"]),
+                                      np.asarray(out["image"]))
+
+
+def test_adaptive_k_narrow_windows_match_full_k(frame_scene):
+    """With the sphere scene's narrow windows eligible for the small
+    bucket, the adaptive render must stay close to the full-K render
+    (the small bucket keeps sampling density at or above full-span K)."""
+    net, params, state, ro, rd, H, W = frame_scene
+    base = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                                 prepass_factor=4, max_samples=32,
+                                 tile=256, max_steps=128, margin_cells=6.0,
+                                 prepass_tile=1024, prepass_march_tile=1024)
+    out = R.render_frame_guided(net, params, state, ro, rd, H, W,
+                                prepass_factor=4, max_samples=32,
+                                tile=256, max_steps=128, margin_cells=6.0,
+                                prepass_tile=1024, prepass_march_tile=1024,
+                                adaptive_k=16,
+                                adaptive_span_cells=16.0)
+    a = np.asarray(base["image"])
+    b = np.asarray(out["image"])
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 35.0, f"adaptive-K vs full-K PSNR {psnr:.1f} dB"
